@@ -1,0 +1,306 @@
+"""Typed configuration for mopoe_mimic_tpu.
+
+Replaces the reference's two-tier argparse flag system
+(mimic/utils/BaseFlags.py:4-113 and mimic/utils/flags.py:23-175) with one
+frozen dataclass. Field names match the reference flags where a counterpart
+exists, so configs written for the reference map 1:1. JSON configs overlay
+the defaults and CLI arguments overlay the JSON
+(mimic/utils/flags.py:117-128 `update_flags_with_config`).
+
+Derived quantities reproduced from the reference:
+  * ``alpha_modalities`` = [div_weight_uniform_content, div_weight_m1_content,
+    div_weight_m2_content, div_weight_m3_content] (flags.py:172-175)
+  * ``len_sequence`` forced to 128 for word encoding / 1024 for char
+    encoding (flags.py:157)
+  * ``method`` expansion to fusion booleans (filehandling.py:101-113) is
+    handled by the :class:`Method` enum instead of four mutually exclusive
+    boolean flags.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import enum
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+
+class Method(str, enum.Enum):
+    """Multimodal fusion method (reference: --method flag, get_method at
+    mimic/utils/filehandling.py:101-113)."""
+
+    POE = "poe"
+    MOE = "moe"
+    JSD = "jsd"
+    JOINT_ELBO = "joint_elbo"  # MoPoE
+
+    @property
+    def uses_poe_fusion(self) -> bool:
+        # BaseMMVae.set_fusion_functions (mimic/utils/BaseMMVae.py:51-69)
+        return self in (Method.POE, Method.JOINT_ELBO)
+
+    @property
+    def uses_dynamic_prior(self) -> bool:
+        return self is Method.JSD
+
+
+class TextEncoding(str, enum.Enum):
+    CHAR = "char"
+    WORD = "word"
+
+
+@dataclass(frozen=True)
+class MopoeConfig:
+    """All knobs of the framework. Frozen → hashable → safe as a jit static."""
+
+    # ----- method ---------------------------------------------------------
+    method: str = "joint_elbo"
+
+    # ----- training (BaseFlags.py:11-21) ----------------------------------
+    seed: Optional[int] = None
+    batch_size: int = 256
+    initial_learning_rate: float = 1e-3
+    beta_1: float = 0.9
+    beta_2: float = 0.999
+    start_epoch: int = 0
+    end_epoch: int = 100
+    steps_per_training_epoch: int = -1
+
+    # ----- model dims -----------------------------------------------------
+    class_dim: int = 20
+    style_pa_dim: int = 0
+    style_lat_dim: int = 0
+    style_text_dim: int = 0
+    image_channels: int = 1
+    img_size: int = 128
+    DIM_img: int = 128
+    DIM_text: int = 128
+    factorized_representation: bool = False
+    feature_extractor_img: str = "resnet"  # resnet | densenet
+
+    # ----- likelihoods (flags.py:64-66) ------------------------------------
+    likelihood_m1: str = "laplace"
+    likelihood_m2: str = "laplace"
+    likelihood_m3: str = "categorical"
+
+    # ----- text -------------------------------------------------------------
+    text_encoding: str = "char"
+    len_sequence: int = 1024  # derived: 128 (word) / 1024 (char), flags.py:157
+    word_min_occ: int = 3
+    text_gen_lastlayer: str = "softmax"  # none | softmax | sigmoid
+    vocab_size: int = 3517  # word-encoding vocab; testing default matches
+    # Mimic_testing (mimic/dataio/MimicDataset.py:408)
+
+    # ----- loss weights (BaseFlags.py:103-113, flags.py:96-122) -------------
+    beta: float = 5.0
+    beta_style: float = 1.0
+    beta_content: float = 1.0
+    beta_m1_style: float = 1.0
+    beta_m2_style: float = 1.0
+    beta_m3_style: float = 1.0
+    div_weight_m1_content: float = 0.25
+    div_weight_m2_content: float = 0.25
+    div_weight_m3_content: float = 0.25
+    div_weight_uniform_content: float = 0.25
+    rec_weight_m1: float = 0.33
+    rec_weight_m2: float = 0.33
+    rec_weight_m3: float = 0.33
+
+    # ----- dataset ----------------------------------------------------------
+    dataset: str = "Mimic"  # 'Mimic' | 'testing'
+    only_text_modality: bool = False
+    undersample_dataset: bool = False
+    weighted_sampler: bool = False
+    binary_labels: bool = False
+    use_toy_dataset: bool = False
+    dataloader_workers: int = 8
+
+    # ----- evaluation toggles (BaseFlags.py:69-90) --------------------------
+    use_clf: bool = False
+    calc_nll: bool = False
+    eval_lr: bool = False
+    calc_prd: bool = False
+    save_figure: bool = False
+    eval_freq: int = 10
+    eval_freq_fid: int = 10
+    num_samples_fid: int = 10000
+    num_training_samples_lr: int = 500
+    num_imp_samples: int = 6  # IWAE importance samples (likelihood.py:120)
+
+    # ----- classifiers ------------------------------------------------------
+    text_clf_type: str = "word"
+    img_clf_type: str = "resnet"
+    clf_loss: str = "binary_crossentropy"
+
+    # ----- callbacks --------------------------------------------------------
+    reduce_lr_on_plateau: bool = False
+    max_early_stopping_index: int = 5
+    start_early_stopping_epoch: int = 0
+    checkpoint_freq: int = 50  # save every N epochs (experiment.py:388-402)
+
+    # ----- directories ------------------------------------------------------
+    dir_data: str = "../data"
+    dir_experiment: str = "/tmp/mopoe_tpu_runs"
+    dir_clf: str = "../clf"
+    dir_fid: Optional[str] = None
+    inception_state_dict: str = "../inception_state_dict.pth"
+    exp_str_prefix: str = "Mimic"
+
+    # ----- TPU-native knobs (no reference counterpart) ----------------------
+    compute_dtype: str = "bfloat16"  # matmul/conv compute dtype
+    param_dtype: str = "float32"
+    data_axis: str = "data"  # mesh axis the batch is sharded over
+    mesh_shape: Tuple[int, ...] = ()  # () → all local devices on data axis
+    donate_state: bool = True  # donate train state buffers to the step
+    sync_batchnorm: bool = False  # reference DDP uses per-replica BN stats
+
+    # =========================================================================
+    # derived values
+    # =========================================================================
+
+    def __post_init__(self):
+        # force len_sequence like the reference (flags.py:157)
+        forced = 128 if self.text_encoding == "word" else 1024
+        object.__setattr__(self, "len_sequence", forced)
+
+    @property
+    def method_enum(self) -> Method:
+        return Method(self.method)
+
+    @property
+    def text_encoding_enum(self) -> TextEncoding:
+        return TextEncoding(self.text_encoding)
+
+    @property
+    def alpha_modalities(self) -> List[float]:
+        """flags.py:172-175."""
+        return [
+            self.div_weight_uniform_content,
+            self.div_weight_m1_content,
+            self.div_weight_m2_content,
+            self.div_weight_m3_content,
+        ]
+
+    @property
+    def num_features(self) -> int:
+        """Feature count of the text one-hot/vocab axis.
+
+        char: alphabet size (71); word: vocab size. Mirrors
+        flags.num_features setup in MimicExperiment.
+        """
+        if self.text_encoding == "char":
+            from mopoe_mimic_tpu.data.alphabet import ALPHABET
+
+            return len(ALPHABET)
+        return self.vocab_size
+
+    @property
+    def modality_names(self) -> Tuple[str, ...]:
+        if self.only_text_modality:
+            return ("text",)
+        return ("PA", "Lateral", "text")
+
+    @property
+    def style_dims(self) -> Dict[str, int]:
+        return {
+            "PA": self.style_pa_dim,
+            "Lateral": self.style_lat_dim,
+            "text": self.style_text_dim,
+        }
+
+    @property
+    def rec_weights(self) -> Dict[str, float]:
+        # MimicExperiment.set_rec_weights semantics: per-modality rec weights
+        return {
+            "PA": self.rec_weight_m1,
+            "Lateral": self.rec_weight_m2,
+            "text": self.rec_weight_m3,
+        }
+
+    @property
+    def style_weights(self) -> Dict[str, float]:
+        return {
+            "PA": self.beta_m1_style,
+            "Lateral": self.beta_m2_style,
+            "text": self.beta_m3_style,
+        }
+
+    @property
+    def likelihoods(self) -> Dict[str, str]:
+        return {
+            "PA": self.likelihood_m1,
+            "Lateral": self.likelihood_m2,
+            "text": self.likelihood_m3,
+        }
+
+    # =========================================================================
+    # construction helpers
+    # =========================================================================
+
+    def replace(self, **kw) -> "MopoeConfig":
+        return dataclasses.replace(self, **kw)
+
+    @classmethod
+    def from_json(cls, path: str, **overrides) -> "MopoeConfig":
+        """JSON overlay like update_flags_with_config (flags.py:117-128).
+
+        Unknown keys in the JSON are ignored with a warning (the reference
+        configs carry cluster-specific path keys we don't need).
+        """
+        with open(path, "rt") as f:
+            raw = json.load(f)
+        known = {f.name for f in dataclasses.fields(cls)}
+        cfg = {k: v for k, v in raw.items() if k in known}
+        cfg.update(overrides)
+        return cls(**cfg)
+
+    @classmethod
+    def parser(cls) -> argparse.ArgumentParser:
+        """Auto-generate a CLI from the dataclass fields."""
+        p = argparse.ArgumentParser(description=__doc__)
+        p.add_argument("--config_path", type=str, default=None)
+        for f in dataclasses.fields(cls):
+            name = f"--{f.name}"
+            if f.type in ("bool", bool):
+                p.add_argument(name, type=_str2bool, default=None)
+            elif f.type in ("int", int):
+                p.add_argument(name, type=int, default=None)
+            elif f.type in ("float", float):
+                p.add_argument(name, type=float, default=None)
+            elif f.name == "mesh_shape":
+                p.add_argument(name, type=_int_tuple, default=None)
+            else:
+                p.add_argument(name, type=str, default=None)
+        return p
+
+    @classmethod
+    def from_cli(cls, argv: Optional[Sequence[str]] = None) -> "MopoeConfig":
+        args = cls.parser().parse_args(argv)
+        overrides = {
+            k: v
+            for k, v in vars(args).items()
+            if v is not None and k != "config_path"
+        }
+        if args.config_path:
+            return cls.from_json(args.config_path, **overrides)
+        return cls(**overrides)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+def _str2bool(v: str) -> bool:
+    # flags.py:12-20 semantics
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("Boolean value expected.")
+
+
+def _int_tuple(v: str) -> Tuple[int, ...]:
+    return tuple(int(x) for x in v.split(",") if x)

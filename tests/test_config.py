@@ -1,0 +1,44 @@
+import json
+
+from mopoe_mimic_tpu.config import Method, MopoeConfig
+
+
+def test_defaults_match_reference_flag_defaults():
+    cfg = MopoeConfig()
+    assert cfg.batch_size == 256
+    assert cfg.class_dim == 20
+    assert cfg.beta == 5.0
+    assert cfg.likelihood_m3 == "categorical"
+    assert cfg.alpha_modalities == [0.25, 0.25, 0.25, 0.25]
+
+
+def test_len_sequence_forced_by_text_encoding():
+    # flags.py:157
+    assert MopoeConfig(text_encoding="word").len_sequence == 128
+    assert MopoeConfig(text_encoding="char").len_sequence == 1024
+
+
+def test_json_overlay_and_cli_override(tmp_path):
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps({"batch_size": 64, "method": "moe", "unknown_key": 1}))
+    cfg = MopoeConfig.from_json(str(p))
+    assert cfg.batch_size == 64 and cfg.method == "moe"
+    cfg2 = MopoeConfig.from_cli(["--config_path", str(p), "--batch_size", "32"])
+    assert cfg2.batch_size == 32 and cfg2.method == "moe"
+
+
+def test_method_enum_expansion():
+    # replaces get_method's boolean flags (filehandling.py:101-113)
+    assert Method("joint_elbo").uses_poe_fusion
+    assert Method("poe").uses_poe_fusion
+    assert not Method("moe").uses_poe_fusion
+    assert Method("jsd").uses_dynamic_prior
+
+
+def test_num_features():
+    assert MopoeConfig(text_encoding="char").num_features == 71
+    assert MopoeConfig(text_encoding="word", vocab_size=3517).num_features == 3517
+
+
+def test_config_is_hashable_for_jit_static():
+    hash(MopoeConfig())
