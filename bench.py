@@ -1,0 +1,102 @@
+"""Training-throughput benchmark: samples/sec/chip on the flagship config
+(3-modality MoPoE, 128px images, word-encoded text — the reference's
+canonical cluster config, configs/leomed_mimic_config.json).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N}
+
+``vs_baseline`` compares against the measured PyTorch-reference throughput
+stored in BASELINE_MEASURED.json (produced by benchmarks/measure_reference.py
+on this machine's CPU — the reference repo publishes no numbers, see
+BASELINE.md). If that file is absent, vs_baseline is null.
+
+Flags: --quick (tiny shapes, smoke), --steps N, --batch N.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="tiny shapes smoke run")
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from mopoe_mimic_tpu.config import MopoeConfig
+    from mopoe_mimic_tpu.data.loader import BatchLoader
+    from mopoe_mimic_tpu.data.synthetic import SyntheticMimic
+    from mopoe_mimic_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
+    from mopoe_mimic_tpu.train.state import create_train_state
+    from mopoe_mimic_tpu.train.step import make_train_step
+
+    n_chips = len(jax.devices())
+    on_tpu = jax.devices()[0].platform != "cpu"
+
+    if args.quick:
+        cfg = MopoeConfig(
+            method="joint_elbo", dataset="testing", img_size=64, DIM_img=4,
+            DIM_text=4, class_dim=8, text_encoding="word", vocab_size=100,
+            batch_size=args.batch or 8, compute_dtype="float32",
+        )
+    else:
+        cfg = MopoeConfig(
+            method="joint_elbo", dataset="testing", img_size=128, DIM_img=64,
+            DIM_text=64, class_dim=64, text_encoding="word", vocab_size=3517,
+            initial_learning_rate=5e-4, donate_state=on_tpu,
+            batch_size=args.batch or (128 * n_chips if on_tpu else 16),
+        )
+
+    mesh = make_mesh(cfg)
+    ds = SyntheticMimic(cfg, seed=0, length=cfg.batch_size)
+    batch, _ = next(iter(BatchLoader(ds, cfg.batch_size, shuffle=False)))
+    batch = shard_batch(mesh, batch)
+
+    state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    state = replicate_state(mesh, state)
+    step = make_train_step(cfg)
+
+    # warmup (compile)
+    for _ in range(args.warmup):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["total_loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["total_loss"])
+    dt = time.perf_counter() - t0
+
+    samples_per_sec = cfg.batch_size * args.steps / dt
+    per_chip = samples_per_sec / n_chips
+
+    vs_baseline = None
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BASELINE_MEASURED.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            ref = json.load(f)
+        ref_sps = ref.get("reference_samples_per_sec")
+        if ref_sps:
+            vs_baseline = per_chip / ref_sps
+
+    print(json.dumps({
+        "metric": "train_samples_per_sec_per_chip_mopoe128",
+        "value": round(per_chip, 2),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -153,7 +153,10 @@ class MopoeConfig:
     param_dtype: str = "float32"
     data_axis: str = "data"  # mesh axis the batch is sharded over
     mesh_shape: Tuple[int, ...] = ()  # () → all local devices on data axis
-    donate_state: bool = True  # donate train state buffers to the step
+    # donate train state buffers to the step. Default off: buffer donation
+    # intermittently deadlocks the first execution on the XLA *CPU* backend
+    # (observed on 1-core hosts); enable on real TPU for in-place updates.
+    donate_state: bool = False
     sync_batchnorm: bool = False  # reference DDP uses per-replica BN stats
 
     # =========================================================================

@@ -1,0 +1,63 @@
+"""Synthetic dataset — the universal test fixture.
+
+Shape-parity with ``Mimic_testing`` (mimic/dataio/MimicDataset.py:399-442):
+random tensors with the exact shapes/dtypes of the real modalities,
+``len = 2 · batch_size``, fixed vocab_size 3517, random binary labels
+(3 CheXpert labels, or 1 when binary_labels). Selected by
+``dataset='testing'`` exactly like the reference
+(mimic/utils/experiment.py:99-103).
+
+Layouts are TPU-native: images NHWC [H, W, 1]; char text [L, 71] one-hot
+floats (the reference emits uniform floats there too — shape fidelity is
+what matters for the fixture); word text int32 ids [L].
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+from mopoe_mimic_tpu.config import MopoeConfig
+
+TESTING_VOCAB_SIZE = 3517  # MimicDataset.py:408
+
+
+class SyntheticMimic:
+    """Deterministic (seeded) random dataset with the Mimic batch schema."""
+
+    def __init__(self, cfg: MopoeConfig, seed: int = 0, length: int = 0):
+        self.cfg = cfg
+        self.length = length or 2 * cfg.batch_size
+        self.seed = seed
+        rng = np.random.default_rng(seed)
+        n = self.length
+        img = (cfg.img_size, cfg.img_size, cfg.image_channels)
+        self._data: Dict[str, np.ndarray] = {}
+        if not cfg.only_text_modality:
+            self._data["PA"] = rng.random((n, *img), dtype=np.float32)
+            self._data["Lateral"] = rng.random((n, *img), dtype=np.float32)
+        if cfg.text_encoding == "word":
+            # ids bounded by the configured vocab (out-of-vocab ids would
+            # hit flax Embed's NaN fill); default vocab matches the
+            # reference fixture's 3517
+            self._data["text"] = rng.integers(
+                0, cfg.vocab_size, size=(n, cfg.len_sequence), dtype=np.int64
+            ).astype(np.int32)
+        else:
+            self._data["text"] = rng.random(
+                (n, cfg.len_sequence, cfg.num_features), dtype=np.float32
+            )
+        n_labels = 1 if cfg.binary_labels else 3
+        self.labels = rng.integers(0, 2, size=(n, n_labels)).astype(np.float32)
+
+    def __len__(self) -> int:
+        return self.length
+
+    def __getitem__(self, idx: int) -> Tuple[Dict[str, np.ndarray], np.ndarray]:
+        return {k: v[idx] for k, v in self._data.items()}, self.labels[idx]
+
+    @property
+    def arrays(self) -> Dict[str, np.ndarray]:
+        """Whole-dataset column access (fast path for the batched loader)."""
+        return self._data

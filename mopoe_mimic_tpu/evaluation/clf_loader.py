@@ -1,0 +1,89 @@
+"""Classifier checkpoint management for the coherence eval.
+
+Parity role: the reference loads pretrained CheXpert-label classifiers
+from ``dir_clf`` by filename pattern (mimic/utils/utils.py:146-157,
+experiment.py set_clfs). Here classifiers are orbax checkpoints saved by
+train/clf_trainer.py; when absent they are trained on demand (a few
+epochs on the experiment's training set) and cached to dir_clf.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Callable, Dict
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from mopoe_mimic_tpu.config import MopoeConfig
+from mopoe_mimic_tpu.evaluation.coherence import CoherenceEvaluator
+from mopoe_mimic_tpu.train.clf_trainer import ClfState, make_classifier, train_classifier
+from mopoe_mimic_tpu.utils.logger import log
+
+
+def _clf_dir(cfg: MopoeConfig, modality: str) -> Path:
+    tag = f"{modality}_{cfg.img_size}" if modality != "text" else (
+        f"text_{cfg.text_encoding}_{cfg.len_sequence}"
+    )
+    return Path(cfg.dir_clf).expanduser() / f"clf_{tag}"
+
+
+def load_or_train_classifiers(
+    exp, quick_epochs: int = 2
+) -> CoherenceEvaluator:
+    cfg = exp.cfg
+    n_labels = len(exp.labels)
+    predict_fns: Dict[str, Callable] = {}
+    for m in cfg.modality_names:
+        model = make_classifier(cfg, m, n_labels)
+        d = _clf_dir(cfg, m)
+        state = None
+        if d.exists():
+            try:
+                ckpt = ocp.StandardCheckpointer()
+                x0 = exp.dataset_train[0][0][m][None]
+                rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+                template = jax.eval_shape(
+                    lambda: model.init(rngs, x0, train=True)
+                )
+                restored = ckpt.restore(d.absolute(), target=None)
+                state = ClfState(
+                    params=restored["params"],
+                    batch_stats=restored.get("batch_stats", {}),
+                    opt_state=(), rng=jax.random.PRNGKey(0),
+                )
+                log.info(f"loaded classifier for {m} from {d}")
+            except Exception as e:
+                log.warning(f"failed to load classifier for {m}: {e}; retraining")
+                state = None
+        if state is None:
+            log.info(f"training classifier for modality {m} ({quick_epochs} epochs)")
+            state, results = train_classifier(
+                cfg, m, exp.dataset_train, exp.dataset_test, n_labels,
+                max_epochs=quick_epochs,
+            )
+            try:
+                d.parent.mkdir(parents=True, exist_ok=True)
+                ocp.StandardCheckpointer().save(
+                    d.absolute(),
+                    {"params": jax.device_get(state.params),
+                     "batch_stats": jax.device_get(state.batch_stats)},
+                    force=True,
+                )
+            except Exception as e:
+                log.warning(f"could not save classifier for {m}: {e}")
+
+        predict_fns[m] = _make_predict(model, state)
+    return CoherenceEvaluator(cfg, predict_fns)
+
+
+def _make_predict(model, state: ClfState) -> Callable:
+    @jax.jit
+    def _p(x):
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats}, x, train=False
+        )
+
+    return lambda x: np.asarray(_p(x))

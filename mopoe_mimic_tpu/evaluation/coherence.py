@@ -1,0 +1,149 @@
+"""Generation-coherence evaluation (parity:
+mimic/evaluation/eval_metrics/coherence.py:36-324).
+
+* Random generation: decode prior samples in every modality, classify each
+  with its pretrained CheXpert-label classifier; a sample is *coherent*
+  for a label when all modalities' argmaxed predictions agree
+  (calculate_coherence, :87-112).
+* Conditional generation: for every subset posterior, generate all
+  modalities and score classifier predictions against the true labels with
+  average precision per (label, subset, modality) (:204-293).
+* Generated-text quality: BLEU-1..4 vs the reference report (:296-311).
+
+Classifiers come from the clf_trainer workload (train/clf_trainer.py) —
+the analog of the reference's pretrained checkpoint directory.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Mapping, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mopoe_mimic_tpu.config import MopoeConfig
+from mopoe_mimic_tpu.evaluation.bleu import corpus_bleu
+from mopoe_mimic_tpu.evaluation.metrics import eval_label_ap
+from mopoe_mimic_tpu.utils.logger import log
+
+
+class CoherenceEvaluator:
+    """Holds the per-modality classifiers (predict fns closed over their
+    trained params)."""
+
+    def __init__(self, cfg: MopoeConfig, clf_predict: Mapping[str, Callable]):
+        """clf_predict: {modality: fn(batch_mod) -> [B, n_labels] probs}."""
+        self.cfg = cfg
+        self.clf_predict = dict(clf_predict)
+
+    # -- random generation coherence -----------------------------------
+    def calculate_coherence(self, samples: Mapping[str, np.ndarray], labels_names) -> Dict[str, float]:
+        cfg = self.cfg
+        preds = []
+        for m in cfg.modality_names:
+            probs = np.asarray(self.clf_predict[m](samples[m]))
+            preds.append(np.argmax(np.nan_to_num(probs), axis=1))
+        preds = np.stack(preds)  # [M, B]
+        coherent = np.all(preds == preds[0:1], axis=0)
+        rate = float(coherent.sum()) / preds.shape[1]
+        return {l: rate for l in labels_names}
+
+    # -- conditional generation ------------------------------------------
+    def classify_cond_gen(
+        self, cond_samples: Mapping[str, Mapping[str, np.ndarray]],
+        labels: np.ndarray, labels_names,
+    ) -> Dict[str, Dict[str, Dict[str, float]]]:
+        """{label: {subset: {modality: AP}}}."""
+        out: Dict[str, Dict[str, Dict[str, float]]] = {
+            l: {s: {} for s in cond_samples} for l in labels_names
+        }
+        for s_key, gen in cond_samples.items():
+            for m in self.cfg.modality_names:
+                probs = np.nan_to_num(np.asarray(self.clf_predict[m](gen[m])))
+                for li, l_key in enumerate(labels_names):
+                    out[l_key][s_key][m] = eval_label_ap(probs, labels, li)
+        return out
+
+
+def test_generation(exp, state, evaluator: CoherenceEvaluator, max_batches: int = 0) -> Dict[str, Any]:
+    """Full coherence pass over the test set (test_generation,
+    coherence.py:226-293)."""
+    cfg = exp.cfg
+    model = exp.model
+    _, test_loader = exp.make_loaders()
+    rng = jax.random.PRNGKey((cfg.seed or 0) + 47)
+
+    @jax.jit
+    def gen_random(params, batch_stats, r):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, cfg.batch_size,
+            train=False, rngs={"reparam": r},
+            method=lambda m, n, train: m.generate(n, train=train),
+        )
+
+    @jax.jit
+    def cond_gen(params, batch_stats, batch, r):
+        def go(m, b, train):
+            latents = m.inference(b, train=train)
+            return m.cond_generation(latents["subsets"], train=train)
+
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, batch,
+            train=False, rngs={"reparam": r}, method=go,
+        )
+
+    rand_coherences = []
+    cond_results = []
+    gen_texts, ref_texts = [], []
+    for i, (batch, labels) in enumerate(test_loader):
+        if max_batches and i >= max_batches:
+            break
+        rng, r1, r2 = jax.random.split(rng, 3)
+        rand = jax.device_get(gen_random(state.params, state.batch_stats, r1))
+        rand_coherences.append(
+            evaluator.calculate_coherence(rand, exp.labels)
+        )
+        cond = jax.device_get(cond_gen(state.params, state.batch_stats, batch, r2))
+        cond_results.append(
+            evaluator.classify_cond_gen(cond, np.nan_to_num(labels), exp.labels)
+        )
+        # text quality of the full-subset conditional generation
+        full_key = "_".join(sorted(cfg.modality_names))
+        gen_texts.append(np.asarray(cond[full_key]["text"]))
+        ref_texts.append(np.asarray(batch["text"]))
+
+    # average over batches
+    def avg_nested(dicts):
+        if not dicts:
+            return {}
+        out = {}
+        first = dicts[0]
+        for k, v in first.items():
+            if isinstance(v, dict):
+                out[k] = avg_nested([d[k] for d in dicts])
+            else:
+                vals = [d[k] for d in dicts]
+                vals = [x for x in vals if x == x]  # drop NaNs
+                out[k] = float(np.mean(vals)) if vals else float("nan")
+        return out
+
+    results = {
+        "random_coherence": avg_nested(rand_coherences),
+        "cond_coherence": avg_nested(cond_results),
+    }
+    results.update(_text_bleu(cfg, exp, np.concatenate(gen_texts), np.concatenate(ref_texts)))
+    return results
+
+
+def _text_bleu(cfg: MopoeConfig, exp, gen: np.ndarray, ref: np.ndarray) -> Dict[str, float]:
+    """Decode generated/reference text tensors and compute corpus BLEU."""
+    from mopoe_mimic_tpu.data.text_codec import tensor_to_tokens
+
+    try:
+        hyp = tensor_to_tokens(cfg, exp, gen, probs=True)
+        refs = tensor_to_tokens(cfg, exp, ref, probs=False)
+    except Exception as e:  # vocab may be absent on synthetic data
+        log.debug(f"text decode for BLEU skipped: {e}")
+        return {}
+    return corpus_bleu(refs, hyp)

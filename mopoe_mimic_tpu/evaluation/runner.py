@@ -1,0 +1,71 @@
+"""Heavy-eval orchestration, called from the train loop every eval_freq
+epochs (parity: test() at mimic/run_epochs.py:148-228 — generate_plots,
+eval_lr, use_clf coherence, calc_nll, calc_prd)."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from mopoe_mimic_tpu.utils.logger import log
+from mopoe_mimic_tpu.utils.meters import flatten_metrics
+
+
+def run_eval_suite(exp, state, epoch: int, mesh=None, max_batches: int = 4) -> Dict[str, Any]:
+    cfg = exp.cfg
+    results: Dict[str, Any] = {}
+
+    if cfg.eval_lr:
+        from mopoe_mimic_tpu.evaluation.representation import (
+            test_clf_lr_all_subsets, train_clf_lr_all_subsets,
+        )
+
+        log.info("eval: latent-representation classifiers")
+        clf_lr = train_clf_lr_all_subsets(exp, state, mesh=mesh)
+        lr_eval = test_clf_lr_all_subsets(exp, state, clf_lr, mesh=mesh)
+        results["lr_eval"] = lr_eval
+        for s_key, metrics in lr_eval.items():
+            exp.tb_logger.write_epoch(f"lr_eval/{s_key}", epoch, metrics)
+
+    if cfg.use_clf:
+        from mopoe_mimic_tpu.evaluation.clf_loader import load_or_train_classifiers
+        from mopoe_mimic_tpu.evaluation.coherence import test_generation
+
+        log.info("eval: generation coherence")
+        evaluator = load_or_train_classifiers(exp)
+        gen_eval = test_generation(exp, state, evaluator, max_batches=max_batches)
+        results["gen_eval"] = gen_eval
+        exp.tb_logger.write_epoch("coherence", epoch, gen_eval)
+
+    if cfg.calc_nll:
+        from mopoe_mimic_tpu.evaluation.likelihood import estimate_likelihoods
+
+        log.info("eval: importance-weighted likelihoods")
+        lhoods = estimate_likelihoods(exp, state, mesh=mesh, max_batches=max_batches)
+        results["likelihoods"] = lhoods
+        exp.tb_logger.write_epoch("likelihoods", epoch, lhoods)
+
+    if cfg.calc_prd and (epoch + 1) % cfg.eval_freq_fid == 0:
+        from mopoe_mimic_tpu.evaluation.sample_quality import calc_prd_score
+        from mopoe_mimic_tpu.evaluation.embedding import make_default_embedder
+
+        log.info("eval: PRD/FID sample quality")
+        try:
+            embed = make_default_embedder(exp)
+            prd = calc_prd_score(exp, state, embed, max_batches=max_batches)
+            results["prd"] = prd
+            exp.tb_logger.write_epoch("prd", epoch, prd)
+        except Exception as e:
+            log.warning(f"PRD/FID skipped: {e}")
+
+    try:
+        from mopoe_mimic_tpu.utils.plotting import generate_plots
+
+        plots = generate_plots(exp, state, epoch)
+        for tag, img in plots.items():
+            exp.tb_logger.write_image(tag, img, epoch)
+    except Exception as e:
+        log.debug(f"plot generation skipped: {e}")
+
+    return flatten_metrics(results, sep="_") if results else {}

@@ -1,0 +1,174 @@
+"""Generative sample quality: FID and precision/recall-for-distributions.
+
+Parity target: mimic/evaluation/eval_metrics/sample_quality.py:12-191 +
+the vendored fid/ and prd_score/ packages — per-subset InceptionV3
+activations → Fréchet distance and PRD curves (k-means cluster histograms).
+
+TPU-first deviations (documented):
+  * The reference embeds samples with a ported InceptionV3 checkpoint
+    (fid/inception.py:13) that is absent from the snapshot and
+    undownloadable in this zero-egress environment. The embedding is
+    therefore **pluggable**: any fn(images[N,H,W,C]) → [N, D]. The default
+    uses the trained ClfImg trunk (train/clf_trainer.py) — domain-specific
+    chest-X-ray features; an Inception embedding can be dropped in when
+    its weights are available.
+  * The Fréchet-distance and PRD math (cluster histograms + f_beta curve)
+    are re-derived in numpy/sklearn below, matching the published
+    algorithms the vendored code implements.
+  * Samples stream device→host in memory; no PNG round-trip through disk
+    (the reference writes sample dirs and re-reads them,
+    save_samples.py:32-46 / sample_quality.py:12-34).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Mapping, Optional, Tuple
+
+import numpy as np
+from scipy import linalg
+from sklearn.cluster import KMeans
+
+
+# ---------------------------------------------------------------------------
+# FID
+# ---------------------------------------------------------------------------
+
+def activation_statistics(acts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    mu = np.mean(acts, axis=0)
+    sigma = np.cov(acts, rowvar=False)
+    return mu, np.atleast_2d(sigma)
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
+    """FID between two Gaussians fitted to activation sets."""
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(sigma1 @ sigma2, disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm((sigma1 + offset) @ (sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean))
+
+
+def calculate_fid(real_acts: np.ndarray, gen_acts: np.ndarray) -> float:
+    m1, s1 = activation_statistics(real_acts)
+    m2, s2 = activation_statistics(gen_acts)
+    return frechet_distance(m1, s1, m2, s2)
+
+
+# ---------------------------------------------------------------------------
+# PRD (precision-recall for distributions; Sajjadi et al. 2018)
+# ---------------------------------------------------------------------------
+
+def compute_prd(ref_hist: np.ndarray, eval_hist: np.ndarray, num_angles: int = 1001,
+                epsilon: float = 1e-10) -> Tuple[np.ndarray, np.ndarray]:
+    angles = np.linspace(epsilon, np.pi / 2 - epsilon, num_angles)
+    slopes = np.tan(angles)
+    precision = np.minimum(ref_hist[None] * slopes[:, None], eval_hist[None]).sum(axis=1)
+    recall = precision / slopes
+    return np.clip(precision, 0, 1), np.clip(recall, 0, 1)
+
+
+def histogram_pair(eval_data: np.ndarray, ref_data: np.ndarray, num_clusters: int = 20,
+                   num_runs: int = 10, seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Cluster the union, histogram each set over cluster ids (averaged over
+    num_runs k-means restarts like the published PRD reference)."""
+    rng = np.random.default_rng(seed)
+    e_sum = np.zeros(num_clusters)
+    r_sum = np.zeros(num_clusters)
+    both = np.concatenate([eval_data, ref_data])
+    for run in range(num_runs):
+        km = KMeans(n_clusters=num_clusters, n_init=1,
+                    random_state=int(rng.integers(0, 2 ** 31)))
+        labels = km.fit_predict(both)
+        e = np.bincount(labels[: len(eval_data)], minlength=num_clusters)
+        r = np.bincount(labels[len(eval_data):], minlength=num_clusters)
+        e_sum += e / e.sum()
+        r_sum += r / r.sum()
+    return e_sum / num_runs, r_sum / num_runs
+
+
+def compute_prd_from_embedding(eval_data: np.ndarray, ref_data: np.ndarray,
+                               num_clusters: int = 20, num_runs: int = 10,
+                               seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    e_hist, r_hist = histogram_pair(eval_data, ref_data, num_clusters, num_runs, seed)
+    return compute_prd(r_hist, e_hist)
+
+
+def prd_to_max_f_beta_pair(precision: np.ndarray, recall: np.ndarray,
+                           beta: float = 8.0) -> Tuple[float, float]:
+    """(F_beta, F_1/beta) summary of a PRD curve."""
+
+    def f_beta(p, r, b):
+        return (1 + b ** 2) * p * r / (b ** 2 * p + r + 1e-10)
+
+    return float(np.max(f_beta(precision, recall, beta))), float(
+        np.max(f_beta(precision, recall, 1.0 / beta))
+    )
+
+
+def average_prd(eval_data: np.ndarray, ref_data: np.ndarray) -> float:
+    """Scalar reported by the reference: mean precision over the PRD curve
+    (calc_prd_score, sample_quality.py:171-191)."""
+    precision, recall = compute_prd_from_embedding(eval_data, ref_data)
+    return float(np.mean(precision))
+
+
+# ---------------------------------------------------------------------------
+# orchestration
+# ---------------------------------------------------------------------------
+
+def calc_prd_score(
+    exp, state, embed_fn: Callable[[np.ndarray], np.ndarray],
+    max_batches: int = 4,
+) -> Dict[str, float]:
+    """Per-subset PRD of conditionally generated images vs real ones, plus
+    random generation. embed_fn maps [N,H,W,C] images to [N,D] features."""
+    import jax
+
+    cfg = exp.cfg
+    model = exp.model
+    _, test_loader = exp.make_loaders()
+    rng = jax.random.PRNGKey((cfg.seed or 0) + 61)
+
+    @jax.jit
+    def cond_gen(params, batch_stats, batch, r):
+        def go(m, b, train):
+            latents = m.inference(b, train=train)
+            return m.cond_generation(latents["subsets"], train=train)
+
+        return model.apply({"params": params, "batch_stats": batch_stats},
+                           batch, train=False, rngs={"reparam": r}, method=go)
+
+    @jax.jit
+    def rand_gen(params, batch_stats, r):
+        return model.apply({"params": params, "batch_stats": batch_stats},
+                           cfg.batch_size, train=False, rngs={"reparam": r},
+                           method=lambda m, n, train: m.generate(n, train=train))
+
+    img_mods = [m for m in cfg.modality_names if m != "text"]
+    real = {m: [] for m in img_mods}
+    gen_sets: Dict[str, Dict[str, list]] = {}
+    for i, (batch, _labels) in enumerate(test_loader):
+        if i >= max_batches:
+            break
+        rng, r1, r2 = jax.random.split(rng, 3)
+        cond = jax.device_get(cond_gen(state.params, state.batch_stats, batch, r1))
+        rand = jax.device_get(rand_gen(state.params, state.batch_stats, r2))
+        cond["random"] = rand
+        for m in img_mods:
+            real[m].append(np.asarray(batch[m]))
+        for s_key, gen in cond.items():
+            slot = gen_sets.setdefault(s_key, {m: [] for m in img_mods})
+            for m in img_mods:
+                slot[m].append(np.asarray(gen[m]))
+
+    results = {}
+    for m in img_mods:
+        real_acts = embed_fn(np.concatenate(real[m]))
+        for s_key, gen in gen_sets.items():
+            gen_acts = embed_fn(np.concatenate(gen[m]))
+            results[f"prd_{m}_{s_key}"] = average_prd(gen_acts, real_acts)
+            results[f"fid_{m}_{s_key}"] = calculate_fid(real_acts, gen_acts)
+    return results

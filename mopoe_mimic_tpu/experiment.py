@@ -1,0 +1,89 @@
+"""Experiment container: wires config → data → model → optimizer → sinks.
+
+Parity: MimicExperiment (mimic/utils/experiment.py:40-283) — datasets,
+modality set, subset powerset, model, optimizer, rec/style weight dicts,
+results-CSV row, run-dir tree — minus torch-specific plumbing. Evaluation
+classifiers are loaded lazily by the eval suite.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from mopoe_mimic_tpu.config import MopoeConfig
+from mopoe_mimic_tpu.data.loader import BatchLoader
+from mopoe_mimic_tpu.data.synthetic import SyntheticMimic
+from mopoe_mimic_tpu.models.mmvae import MMVae
+from mopoe_mimic_tpu.ops.fusion import subset_powerset
+from mopoe_mimic_tpu.train.state import TrainState, create_train_state, make_optimizer
+from mopoe_mimic_tpu.utils.checkpoints import CheckpointManager
+from mopoe_mimic_tpu.utils.experiment_df import ExperimentDataframe
+from mopoe_mimic_tpu.utils.filehandling import create_dir_structure, run_name
+from mopoe_mimic_tpu.utils.logger import log
+from mopoe_mimic_tpu.utils.tb_logger import TBLogger
+
+
+# CheXpert labels used for evaluation (dataio/utils.py:183-187)
+LABELS = ["Lung Opacity", "Pleural Effusion", "Support Devices"]
+BINARY_LABELS = ["Finding"]
+
+
+class Experiment:
+    def __init__(self, cfg: MopoeConfig, make_dirs: bool = True):
+        self.cfg = cfg
+        self.name = run_name(cfg)
+        self.paths = create_dir_structure(cfg, self.name, train=make_dirs)
+        self.labels = BINARY_LABELS if cfg.binary_labels else LABELS
+        self.modalities = list(cfg.modality_names)
+        self.subsets = subset_powerset(cfg.modality_names)
+        self.model = MMVae(cfg)
+        self.tx = make_optimizer(cfg)
+        self.set_datasets()
+        self.tb_logger = TBLogger(self.name, self.paths["logs"]) if make_dirs else TBLogger(self.name, None)
+        self.experiments_df: Optional[ExperimentDataframe] = None
+        if make_dirs:
+            self.experiments_df = ExperimentDataframe(
+                f"{cfg.dir_experiment}/experiments_dataframe.csv", cfg, self.name
+            )
+        self.checkpoints = (
+            CheckpointManager(self.paths["checkpoints"]) if make_dirs else None
+        )
+
+    # ------------------------------------------------------------------
+
+    def set_datasets(self) -> None:
+        cfg = self.cfg
+        if cfg.dataset.lower() == "testing":
+            self.dataset_train = SyntheticMimic(cfg, seed=0)
+            self.dataset_test = SyntheticMimic(cfg, seed=1)
+        else:
+            from mopoe_mimic_tpu.data.mimic_dataset import MimicDataset
+
+            self.dataset_train = MimicDataset(cfg, split="train")
+            self.dataset_test = MimicDataset(cfg, split="eval")
+
+    def make_loaders(self):
+        cfg = self.cfg
+        train_loader = BatchLoader(
+            self.dataset_train,
+            cfg.batch_size,
+            shuffle=not cfg.weighted_sampler,
+            seed=cfg.seed or 0,
+            weighted=cfg.weighted_sampler,
+        )
+        test_loader = BatchLoader(
+            self.dataset_test, cfg.batch_size, shuffle=True, seed=(cfg.seed or 0) + 1
+        )
+        return train_loader, test_loader
+
+    def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
+        rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed or 0)
+        batch, _ = next(iter(self.make_loaders()[0]))
+        return create_train_state(self.cfg, rng, batch, model=self.model, tx=self.tx)
+
+    def mean_eval_metric(self, values) -> float:
+        return float(np.mean(np.asarray(list(values))))

@@ -1,0 +1,86 @@
+"""CLI driver (parity: mimic/main_mimic.py:25-127).
+
+Supervision policy:
+  * NaN in latents → restart from scratch with a fresh seed, up to
+    ``MAX_NAN_RESTARTS`` times, wiping the run dir + CSV row
+    (main_mimic.py:39,79-114).
+  * The reference's CUDA-OOM batch backoff (main_mimic.py:116-121) maps to
+    compile-time RESOURCE_EXHAUSTED on TPU: batch_size × 0.8 and retry.
+
+Usage:
+    python -m mopoe_mimic_tpu.main --config_path configs/default.json \
+        --dataset testing --end_epoch 2
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import time
+
+import numpy as np
+
+from mopoe_mimic_tpu.config import MopoeConfig
+from mopoe_mimic_tpu.experiment import Experiment
+from mopoe_mimic_tpu.train.loop import run_epochs
+from mopoe_mimic_tpu.utils.exceptions import DeviceOutOfMemory, NaNInLatent
+from mopoe_mimic_tpu.utils.logger import log
+
+MAX_NAN_RESTARTS = 10
+
+
+class Main:
+    def __init__(self, cfg: MopoeConfig):
+        self.cfg = cfg
+        self.restarts = 0
+
+    def _run_once(self):
+        exp = Experiment(self.cfg)
+        log.info(f"starting experiment {exp.name}")
+        try:
+            return run_epochs(exp, resume=bool(self.cfg.start_epoch))
+        except NaNInLatent:
+            self._wipe(exp)
+            raise
+        finally:
+            exp.tb_logger.close()
+
+    def _wipe(self, exp: Experiment) -> None:
+        log.warning(f"wiping failed experiment dir {exp.paths['experiment_run']}")
+        shutil.rmtree(exp.paths["experiment_run"], ignore_errors=True)
+        if exp.experiments_df is not None:
+            exp.experiments_df.delete_row()
+
+    def main(self):
+        t0 = time.time()
+        while True:
+            try:
+                result = self._run_once()
+                break
+            except NaNInLatent as e:
+                self.restarts += 1
+                if self.restarts > MAX_NAN_RESTARTS:
+                    log.error(f"giving up after {self.restarts} NaN restarts")
+                    raise
+                seed = int(np.random.default_rng().integers(0, 10000))
+                log.warning(f"NaN in latents ({e}); restart {self.restarts} with seed {seed}")
+                self.cfg = self.cfg.replace(seed=seed)
+            except (DeviceOutOfMemory, MemoryError):
+                new_bs = int(self.cfg.batch_size * 0.8)
+                if new_bs < 8:
+                    raise
+                log.warning(f"device OOM; retrying with batch_size={new_bs}")
+                self.cfg = self.cfg.replace(batch_size=new_bs)
+        log.info(f"experiment finished in {(time.time() - t0) / 60:.1f} min")
+        return result
+
+
+def main(argv=None):
+    cfg = MopoeConfig.from_cli(argv)
+    if cfg.seed is None:
+        cfg = cfg.replace(seed=int(np.random.default_rng().integers(0, 10000)))
+    return Main(cfg).main()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

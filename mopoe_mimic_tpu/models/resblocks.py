@@ -1,0 +1,193 @@
+"""Pre-activation residual conv blocks (1-D and 2-D, conv and transpose).
+
+Capability parity with mimic/networks/ResidualBlocks.py: each block is
+BN → ReLU → 1×1 conv → dropout(0.5) → BN → ReLU → k×k (transpose-)conv →
+dropout(0.5), combined with a weighted skip ``a · shortcut(x) + b · out``;
+the shortcut is a learned (transpose-)conv + BN projection whenever the
+factory conditions at the reference call sites fire
+(FeatureExtractorImg.py:7-21, DataGeneratorImg.py:7-27,
+char_encoding/FeatureExtractorText.py:6-20, word_encoding/DataGeneratorText.py:6-27).
+
+TPU-first choices:
+  * NHWC / NLC layouts (channel-last — XLA's native TPU conv layout);
+    a single block class covers 1-D and 2-D (spatial rank inferred).
+  * torch's ConvTranspose semantics are reproduced with
+    ``lax.conv_general_dilated`` (input dilation = stride, padding
+    ``k-1-p`` per side, +output_padding on the high side) so output
+    shapes match the reference exactly.
+  * 2-D dropout is channelwise (torch nn.Dropout2d zeroes whole feature
+    maps); 1-D blocks use elementwise dropout (the reference's 1-D blocks
+    use plain nn.Dropout).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax import lax
+
+
+class TorchConvTranspose(nn.Module):
+    """Transposed convolution with torch ConvTranspose{1,2}d shape semantics.
+
+    out_spatial = (in - 1) * stride - 2 * padding + kernel + output_padding
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    output_padding: int = 0
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        spatial = x.ndim - 2  # N ... C
+        k, s, p, op = self.kernel_size, self.stride, self.padding, self.output_padding
+        kernel_shape = (k,) * spatial + (x.shape[-1], self.features)
+        kernel = self.param(
+            "kernel", nn.initializers.he_normal(), kernel_shape, self.param_dtype
+        )
+        pad = [(k - 1 - p, k - 1 - p + op)] * spatial
+        dn = lax.conv_dimension_numbers(
+            x.shape,
+            kernel_shape,
+            ("NHWC", "HWIO", "NHWC") if spatial == 2 else ("NHC", "HIO", "NHC"),
+        )
+        y = lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(1,) * spatial,
+            padding=pad,
+            lhs_dilation=(s,) * spatial,
+            rhs_dilation=(1,) * spatial,
+            dimension_numbers=dn,
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+def _conv(features, k, s, p, use_bias, dtype, param_dtype, name=None, rank=2):
+    # flax infers the spatial rank from kernel_size, so it must be a tuple
+    # of the right length (an int would silently make a 1-D conv).
+    return nn.Conv(
+        features=features,
+        kernel_size=(k,) * rank,
+        strides=(s,) * rank,
+        padding=[(p, p)] * rank,
+        use_bias=use_bias,
+        dtype=dtype,
+        param_dtype=param_dtype,
+        kernel_init=nn.initializers.he_normal(),
+        name=name,
+    )
+
+
+class _BlockBase(nn.Module):
+    """Shared body of the residual blocks."""
+
+    features: int
+    kernel_size: int = 4
+    stride: int = 2
+    padding: int = 1
+    a: float = 2.0
+    b: float = 0.3
+    dropout_rate: float = 0.5
+    channelwise_dropout: bool = False  # torch Dropout2d semantics
+    use_conv_bias: bool = True  # 2-D reference blocks use bias=False
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    def _bn(self, name: str) -> nn.BatchNorm:
+        # torch BatchNorm defaults: eps=1e-5, running-stat momentum 0.1
+        # (flax momentum = 1 - torch momentum). Stats in float32.
+        return nn.BatchNorm(
+            use_running_average=None,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=jnp.float32,
+            param_dtype=self.param_dtype,
+            name=name,
+        )
+
+    def _dropout(self, x, deterministic, spatial_rank):
+        if self.dropout_rate <= 0.0:
+            return x
+        broadcast = tuple(range(1, 1 + spatial_rank)) if self.channelwise_dropout else ()
+        return nn.Dropout(
+            rate=self.dropout_rate, broadcast_dims=broadcast
+        )(x, deterministic=deterministic)
+
+
+class ResidualBlockConv(_BlockBase):
+    """Downsampling residual block (ResidualBlock{1d,2d}Conv)."""
+
+    use_shortcut: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = True) -> jnp.ndarray:
+        spatial = x.ndim - 2
+        det = not train
+        h = self._bn("bn1")(x, use_running_average=det)
+        h = nn.relu(h)
+        h = _conv(x.shape[-1], 1, 1, 0, self.use_conv_bias, self.dtype, self.param_dtype, "conv1", spatial)(h)
+        h = self._dropout(h, det, spatial)
+        h = self._bn("bn2")(h, use_running_average=det)
+        h = nn.relu(h)
+        h = _conv(
+            self.features, self.kernel_size, self.stride, self.padding,
+            self.use_conv_bias, self.dtype, self.param_dtype, "conv2", spatial,
+        )(h)
+        h = self._dropout(h, det, spatial)
+        residual = x
+        if self.use_shortcut:
+            residual = _conv(
+                self.features, self.kernel_size, self.stride, self.padding,
+                True, self.dtype, self.param_dtype, "shortcut_conv", spatial,
+            )(x)
+            residual = self._bn("shortcut_bn")(residual, use_running_average=det)
+        return self.a * residual + self.b * h
+
+
+class ResidualBlockTransposeConv(_BlockBase):
+    """Upsampling residual block (ResidualBlock{1d,2d}TransposeConv)."""
+
+    output_padding: int = 0
+    use_shortcut: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = True) -> jnp.ndarray:
+        spatial = x.ndim - 2
+        det = not train
+        h = self._bn("bn1")(x, use_running_average=det)
+        h = nn.relu(h)
+        h = TorchConvTranspose(
+            x.shape[-1], 1, 1, 0, 0, self.use_conv_bias, self.dtype, self.param_dtype,
+            name="conv1",
+        )(h)
+        h = self._dropout(h, det, spatial)
+        h = self._bn("bn2")(h, use_running_average=det)
+        h = nn.relu(h)
+        h = TorchConvTranspose(
+            self.features, self.kernel_size, self.stride, self.padding,
+            self.output_padding, self.use_conv_bias, self.dtype, self.param_dtype,
+            name="conv2",
+        )(h)
+        h = self._dropout(h, det, spatial)
+        residual = x
+        if self.use_shortcut:
+            residual = TorchConvTranspose(
+                self.features, self.kernel_size, self.stride, self.padding,
+                self.output_padding, True, self.dtype, self.param_dtype,
+                name="shortcut_conv",
+            )(x)
+            residual = self._bn("shortcut_bn")(residual, use_running_average=det)
+        return self.a * residual + self.b * h

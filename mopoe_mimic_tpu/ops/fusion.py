@@ -160,12 +160,16 @@ def mixture_component_selection(
     """
     batch = mus.shape[1]
     bounds = _partition_bounds(batch, weights)
-    mu_sel = jnp.concatenate(
-        [mus[k, s:e, :] for k, (s, e) in enumerate(bounds)], axis=0
-    )
-    logvar_sel = jnp.concatenate(
-        [logvars[k, s:e, :] for k, (s, e) in enumerate(bounds)], axis=0
-    )
+    # Formulated as a constant per-row component gather instead of K
+    # slices + concat: row b takes component c(b) where c is a *static*
+    # numpy array. Under a batch-sharded mesh every device gathers only its
+    # local rows — no resharding collectives, unlike cross-shard slicing.
+    comp = np.zeros((batch,), dtype=np.int32)
+    for k, (s, e) in enumerate(bounds):
+        comp[s:e] = k
+    rows = np.arange(batch)
+    mu_sel = mus[comp, rows, :]
+    logvar_sel = logvars[comp, rows, :]
     return mu_sel, logvar_sel
 
 

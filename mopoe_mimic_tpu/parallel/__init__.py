@@ -1,0 +1,8 @@
+from mopoe_mimic_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+    replicate_state,
+    init_multihost,
+)

@@ -1,0 +1,98 @@
+"""Device mesh + sharding layout — the TPU-native replacement for the
+reference's distributed stack.
+
+The reference scales with one process per GPU: mp.spawn + DDP + a gloo
+process group hard-wired to localhost:12355 + DistributedSampler
+(mimic/main_mimic.py:44-67, mimic/utils/utils.py:179-186,
+mimic/run_epochs.py:245-247, mimic/dataio/utils.py:120-122). Here the whole
+program is single-controller SPMD:
+
+  * one `jax.sharding.Mesh` over all devices, batch sharded along the
+    'data' axis, parameters/optimizer state replicated;
+  * the jitted train step runs unmodified on any mesh size — the XLA
+    partitioner inserts the gradient `psum` over ICI (DDP's all-reduce
+    equivalent), no process supervision, no rendezvous;
+  * multi-host slices call `init_multihost()` (jax.distributed.initialize)
+    and run the same program; each host feeds its local shard via
+    `jax.make_array_from_process_local_data`.
+
+The model is ~10-50M params (SURVEY.md §2.7) so data parallelism is the
+whole story; the mesh helper still accepts extra axes for forward
+compatibility (e.g. ('data', 'model') for a future tensor-parallel head).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mopoe_mimic_tpu.config import MopoeConfig
+
+DATA_AXIS = "data"
+
+
+def make_mesh(
+    cfg: Optional[MopoeConfig] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+    shape: Tuple[int, ...] = (),
+    axis_names: Tuple[str, ...] = (DATA_AXIS,),
+) -> Mesh:
+    devices = list(devices) if devices is not None else jax.devices()
+    shape = shape or (cfg.mesh_shape if cfg else ()) or (len(devices),)
+    if len(shape) != len(axis_names):
+        axis_names = tuple(
+            [DATA_AXIS] + [f"axis{i}" for i in range(1, len(shape))]
+        )
+    mesh_devices = np.array(devices[: int(np.prod(shape))]).reshape(shape)
+    return Mesh(mesh_devices, axis_names=axis_names)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch arrays: sharded along the data axis, replicated elsewhere."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, np.ndarray]):
+    """Place a host batch onto the mesh, sharded on axis 0.
+
+    Single-process path: device_put with a NamedSharding. Multi-host: each
+    process holds only its slice, so use
+    jax.make_array_from_process_local_data instead.
+    """
+    sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return {
+            k: jax.make_array_from_process_local_data(sharding, v)
+            for k, v in batch.items()
+        }
+    return jax.device_put(batch, sharding)
+
+
+def replicate_state(mesh: Mesh, state):
+    """Replicate the train state pytree across the mesh."""
+    return jax.device_put(state, replicated_sharding(mesh))
+
+
+def init_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host initialization (call once before building the mesh).
+
+    On Cloud TPU all arguments are auto-detected from the metadata server;
+    explicit values support other clusters. Replaces set_up_process_group
+    (mimic/utils/utils.py:179-186).
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )

@@ -1,0 +1,155 @@
+"""Classifier training workload — produces the checkpoints the coherence
+evaluation consumes.
+
+Parity: mimic/networks/classifiers/main_train_clf_mimic.py:49-199 and
+classifiers/utils.py:102-238 — per-modality multi-label classifier, BCE or
+dice loss (mimic/utils/loss.py:51-79), early stopping on *mean average
+precision / dice* with best-checkpoint overwrite, results CSV. The torch
+DataParallel path becomes the same jitted data-parallel step as the VAE.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mopoe_mimic_tpu.config import MopoeConfig
+from mopoe_mimic_tpu.data.loader import BatchLoader
+from mopoe_mimic_tpu.evaluation.metrics import Metrics
+from mopoe_mimic_tpu.models.classifiers import ClfImg, ClfText
+from mopoe_mimic_tpu.utils.logger import log
+
+
+@flax.struct.dataclass
+class ClfState:
+    params: dict
+    batch_stats: dict
+    opt_state: tuple
+    rng: jax.Array
+
+
+def make_classifier(cfg: MopoeConfig, modality: str, n_labels: int):
+    if modality == "text":
+        return ClfText(
+            n_labels=n_labels,
+            dim=cfg.DIM_text,
+            text_encoding=cfg.text_clf_type if cfg.text_clf_type in ("char", "word") else cfg.text_encoding,
+            num_features=cfg.num_features,
+            vocab_size=cfg.vocab_size,
+            len_sequence=cfg.len_sequence,
+        )
+    return ClfImg(
+        n_labels=n_labels, img_size=cfg.img_size, image_channels=cfg.image_channels
+    )
+
+
+def clf_loss_fn(kind: str):
+    """BCE / dice over sigmoid probabilities (mimic/utils/loss.py:51-79)."""
+
+    def bce(probs, targets):
+        p = jnp.clip(probs, 1e-6, 1 - 1e-6)
+        return -jnp.mean(targets * jnp.log(p) + (1 - targets) * jnp.log(1 - p))
+
+    def dice(probs, targets, smooth=1.0):
+        inter = jnp.sum(probs * targets)
+        return 1.0 - (2 * inter + smooth) / (jnp.sum(probs) + jnp.sum(targets) + smooth)
+
+    if kind in ("binary_crossentropy", "bce_with_logits", "crossentropy"):
+        return bce
+    if kind == "dice":
+        return dice
+    raise NotImplementedError(kind)
+
+
+def train_classifier(
+    cfg: MopoeConfig,
+    modality: str,
+    dataset_train,
+    dataset_eval,
+    n_labels: int,
+    max_epochs: int = 100,
+    rng: Optional[jax.Array] = None,
+    early_stop_patience: Optional[int] = None,
+) -> Tuple[ClfState, Dict[str, float]]:
+    """Returns (best state, best eval metrics)."""
+    rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed or 0)
+    model = make_classifier(cfg, modality, n_labels)
+    loss_fn = clf_loss_fn(cfg.clf_loss)
+    tx = optax.adam(cfg.initial_learning_rate, b1=cfg.beta_1, b2=cfg.beta_2)
+
+    loader = BatchLoader(dataset_train, cfg.batch_size, shuffle=True, seed=cfg.seed or 0)
+    eval_loader = BatchLoader(dataset_eval, cfg.batch_size, shuffle=False)
+    x0, _ = next(iter(loader))
+    rng, init_rng, drop_rng = jax.random.split(rng, 3)
+    variables = jax.jit(lambda r, x: model.init(r, x, train=True))(
+        {"params": init_rng, "dropout": drop_rng}, x0[modality]
+    )
+    state = ClfState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        rng=rng,
+    )
+
+    @jax.jit
+    def train_step(state: ClfState, x, y):
+        new_rng, drop = jax.random.split(state.rng)
+
+        def lf(params):
+            probs, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x, train=True, rngs={"dropout": drop}, mutable=["batch_stats"],
+            )
+            return loss_fn(probs, y), mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(lf, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        return (
+            state.replace(
+                params=optax.apply_updates(state.params, updates),
+                batch_stats=new_bs, opt_state=new_opt, rng=new_rng,
+            ),
+            loss,
+        )
+
+    @jax.jit
+    def predict(state: ClfState, x):
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats}, x, train=False
+        )
+
+    labels = [f"l{i}" for i in range(n_labels)]
+    best_metric, best_state, best_results = -math.inf, state, {}
+    patience = early_stop_patience if early_stop_patience is not None else cfg.max_early_stopping_index
+    bad = 0
+    steps_cap = cfg.steps_per_training_epoch if cfg.steps_per_training_epoch > 0 else None
+    for epoch in range(max_epochs):
+        loader.set_epoch(epoch)
+        for i, (batch, y) in enumerate(loader):
+            if steps_cap and i >= steps_cap:
+                break
+            state, loss = train_step(state, batch[modality], y)
+        # eval: mean AP (early-stop target, classifiers/utils.py:130-203)
+        preds, gts = [], []
+        for batch, y in eval_loader:
+            preds.append(np.asarray(predict(state, batch[modality])))
+            gts.append(y)
+        m = Metrics(np.concatenate(preds), np.concatenate(gts), labels)
+        results = {k: v[0] for k, v in m.evaluate().items()}
+        target = results.get("mean_AP_total")
+        target = results["dice"] if (target is None or math.isnan(target)) else target
+        log.info(f"clf[{modality}] epoch {epoch}: loss={float(loss):.4f} target={target:.4f}")
+        if target > best_metric:
+            best_metric, best_state, best_results = target, state, results
+            bad = 0
+        else:
+            bad += 1
+            if bad > patience:
+                break
+    return best_state, best_results

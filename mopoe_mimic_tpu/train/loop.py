@@ -1,0 +1,125 @@
+"""Epoch orchestration (parity: mimic/run_epochs.py:31-272).
+
+Structure: for each epoch — per-epoch loader reshuffle, train pass, test
+pass, heavy evals every ``eval_freq`` epochs, callbacks (LR schedule, early
+stop, checkpoints), metric sinks (TB + CSV). All compute is inside the two
+jitted steps; the loop only moves numpy batches and reads epoch-mean
+metrics once per epoch.
+"""
+
+from __future__ import annotations
+
+import itertools
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from mopoe_mimic_tpu.config import MopoeConfig
+from mopoe_mimic_tpu.experiment import Experiment
+from mopoe_mimic_tpu.parallel.mesh import batch_sharding, make_mesh, replicate_state, shard_batch
+from mopoe_mimic_tpu.train.callbacks import Callbacks
+from mopoe_mimic_tpu.train.state import TrainState
+from mopoe_mimic_tpu.train.step import make_eval_step, make_train_step
+from mopoe_mimic_tpu.utils.exceptions import NaNInLatent
+from mopoe_mimic_tpu.utils.logger import log
+from mopoe_mimic_tpu.utils.meters import MetricAccumulator
+
+
+def _at_most(iterable, n: Optional[int]):
+    return itertools.islice(iterable, n) if n and n > 0 else iterable
+
+
+def run_epochs(
+    exp: Experiment,
+    state: Optional[TrainState] = None,
+    mesh=None,
+    resume: bool = False,
+) -> Dict[str, Any]:
+    cfg = exp.cfg
+    mesh = mesh or make_mesh(cfg)
+    train_loader, test_loader = exp.make_loaders()
+
+    state = state if state is not None else exp.init_state()
+    start_epoch = cfg.start_epoch
+    if resume and exp.checkpoints is not None and exp.checkpoints.latest_epoch() is not None:
+        start_epoch, state = exp.checkpoints.restore(state)
+        start_epoch += 1
+        log.info(f"resumed from checkpoint at epoch {start_epoch}")
+    state = replicate_state(mesh, state)
+
+    train_step = make_train_step(cfg, exp.model, exp.tx)
+    eval_step = make_eval_step(cfg, exp.model)
+    callbacks = Callbacks(cfg, exp.checkpoints, exp.experiments_df)
+    eval_rng = jax.random.PRNGKey((cfg.seed or 0) + 17)
+
+    steps_cap = cfg.steps_per_training_epoch if cfg.steps_per_training_epoch > 0 else None
+    last_test: Dict[str, Any] = {}
+    epoch_times = []
+
+    for epoch in range(start_epoch, cfg.end_epoch):
+        t0 = time.time()
+        # ---- train pass ------------------------------------------------
+        train_loader.set_epoch(epoch)
+        acc = MetricAccumulator()
+        for batch, _labels in _at_most(iter(train_loader), steps_cap):
+            state, metrics = train_step(state, shard_batch(mesh, batch))
+            acc.update(metrics)
+        train_avg = acc.averages()
+        _check_nans(cfg, train_avg)
+        exp.tb_logger.write_epoch("train", epoch, _loggable(train_avg))
+
+        # ---- test pass ---------------------------------------------------
+        test_loader.set_epoch(epoch)
+        acc = MetricAccumulator()
+        for i, (batch, _labels) in enumerate(_at_most(iter(test_loader), steps_cap)):
+            eval_rng, r = jax.random.split(eval_rng)
+            acc.update(eval_step(state, shard_batch(mesh, batch), r))
+        test_avg = acc.averages()
+        _check_nans(cfg, test_avg)
+        exp.tb_logger.write_epoch("test", epoch, _loggable(test_avg))
+        last_test = test_avg
+
+        # ---- heavy evals every eval_freq epochs --------------------------
+        if (epoch + 1) % cfg.eval_freq == 0 or epoch == cfg.end_epoch - 1:
+            try:
+                from mopoe_mimic_tpu.evaluation.runner import run_eval_suite
+
+                eval_results = run_eval_suite(exp, state, epoch, mesh=mesh)
+                if eval_results and exp.experiments_df is not None:
+                    exp.experiments_df.update(eval_results)
+            except ImportError:
+                pass
+
+        # ---- callbacks ---------------------------------------------------
+        elapsed = time.time() - t0
+        epoch_times.append(elapsed)
+        test_loss = float(test_avg["total_loss"])
+        log.info(
+            f"epoch {epoch}: train_loss={float(train_avg['total_loss']):.4f} "
+            f"test_loss={test_loss:.4f} ({elapsed:.1f}s)"
+        )
+        if exp.experiments_df is not None:
+            exp.experiments_df.update(
+                {"total_epochs": epoch, "mean_epoch_time": float(np.mean(epoch_times))}
+            )
+        stop, state = callbacks.update_epoch(epoch, test_loss, state, elapsed)
+        if stop:
+            break
+
+    return {"state": state, "train": train_avg, "test": last_test,
+            "mean_epoch_time": float(np.mean(epoch_times)) if epoch_times else 0.0}
+
+
+def _check_nans(cfg: MopoeConfig, avg: Dict[str, Any]) -> None:
+    """Raise NaNInLatent like check_latents (mimic/utils/utils.py:201-208);
+    relaxed for the synthetic dataset exactly like the reference."""
+    if cfg.dataset.lower() == "testing":
+        return
+    if float(avg.get("nan_in_latents", 0.0)) > 0.0:
+        raise NaNInLatent("latent representations contain NaNs")
+
+
+def _loggable(avg: Dict[str, Any]) -> Dict[str, Any]:
+    return {k: v for k, v in avg.items() if k != "nan_in_latents"}

@@ -1,0 +1,80 @@
+"""Train state: params + BN batch stats + optimizer state + step + rng.
+
+The reference keeps optimizer state implicitly in torch Adam and never
+saves it (SURVEY.md §5 — resume is unimplemented there); here the state is
+one pytree so orbax can checkpoint and restore everything.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from mopoe_mimic_tpu.config import MopoeConfig
+from mopoe_mimic_tpu.models.mmvae import MMVae
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+    rng: jax.Array
+
+
+def make_optimizer(cfg: MopoeConfig) -> optax.GradientTransformation:
+    """Adam with the reference hyperparameters (experiment.py:171-178);
+    learning rate injected as a mutable hyperparameter so the
+    ReduceLROnPlateau callback can scale it from the host without
+    recompiling."""
+    return optax.inject_hyperparams(optax.adam)(
+        learning_rate=cfg.initial_learning_rate, b1=cfg.beta_1, b2=cfg.beta_2
+    )
+
+
+def create_train_state(
+    cfg: MopoeConfig,
+    rng: jax.Array,
+    sample_batch: Mapping[str, jnp.ndarray],
+    model: Optional[MMVae] = None,
+    tx: Optional[optax.GradientTransformation] = None,
+) -> TrainState:
+    model = model or MMVae(cfg)
+    tx = tx or make_optimizer(cfg)
+    rng, init_rng, drop_rng, rep_rng, state_rng = jax.random.split(rng, 5)
+    # jit the whole init: one XLA program instead of hundreds of eagerly
+    # dispatched op-by-op compiles (order-of-magnitude faster cold start)
+    init_fn = jax.jit(lambda r, b: model.init(r, b, train=True))
+    variables = init_fn(
+        {"params": init_rng, "dropout": drop_rng, "reparam": rep_rng},
+        sample_batch,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+        rng=state_rng,
+    )
+
+
+def param_count(params) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))
+
+
+def get_learning_rate(state: TrainState) -> float:
+    return float(state.opt_state.hyperparams["learning_rate"])
+
+
+def set_learning_rate(state: TrainState, lr: float) -> TrainState:
+    hyper = dict(state.opt_state.hyperparams)
+    hyper["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+    opt_state = state.opt_state._replace(hyperparams=hyper)
+    return state.replace(opt_state=opt_state)

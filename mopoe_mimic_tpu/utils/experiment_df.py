@@ -1,0 +1,52 @@
+"""Cumulative results CSV — one row per experiment, all config fields +
+flattened test metrics, updated after every test epoch (parity:
+mimic/utils/experiment.py:227-260 `experiments_dataframe.csv`)."""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Any, Dict, Mapping
+
+import pandas as pd
+
+from mopoe_mimic_tpu.config import MopoeConfig
+from mopoe_mimic_tpu.utils.meters import flatten_metrics
+
+
+class ExperimentDataframe:
+    def __init__(self, path: str, cfg: MopoeConfig, run_name: str):
+        self.path = Path(path)
+        self.run_name = run_name
+        row: Dict[str, Any] = {"str_experiment": run_name}
+        row.update({k: str(v) if isinstance(v, (list, tuple, dict)) else v
+                    for k, v in cfg.to_dict().items()})
+        df = self._load()
+        df = pd.concat([df, pd.DataFrame([row])], ignore_index=True)
+        self._write(df)
+
+    def _load(self) -> pd.DataFrame:
+        if self.path.exists():
+            return pd.read_csv(self.path)
+        return pd.DataFrame()
+
+    def _write(self, df: pd.DataFrame) -> None:
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        df.to_csv(self.path, index=False)
+
+    def update(self, values: Mapping[str, Any]) -> None:
+        """Flatten and merge metric values into this experiment's row."""
+        flat = flatten_metrics(dict(values), sep="_")
+        df = self._load()
+        mask = df["str_experiment"] == self.run_name
+        for k, v in flat.items():
+            if k not in df.columns:
+                df[k] = float("nan")
+            df.loc[mask, k] = v
+        self._write(df)
+
+    def delete_row(self) -> None:
+        """Drop this experiment (restart semantics, main_mimic.py:79-98)."""
+        df = self._load()
+        df = df[df["str_experiment"] != self.run_name]
+        self._write(df)
