@@ -1,0 +1,163 @@
+"""Measure the PyTorch reference's training throughput on matched configs.
+
+The reference repo publishes no numbers (BASELINE.md), so the baseline is
+measured by running the reference implementation itself (imported from the
+read-only snapshot) for a few optimizer steps on synthetic tensors of the
+flagship shape (3-modality MoPoE, 128px, word text, DIM 64, class_dim 64).
+
+Writes BASELINE_MEASURED.json with provenance (hardware, shapes, steps);
+bench.py divides its samples/sec/chip by this reference_samples_per_sec.
+
+Usage: python benchmarks/measure_reference.py [--batch 16] [--steps 5]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = os.environ.get("MOPOE_REFERENCE", "/root/reference")
+sys.path.insert(0, REFERENCE)
+# losses.py uses non-package imports ("from evaluation...", losses.py:2-3)
+sys.path.insert(0, os.path.join(REFERENCE, "mimic"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--warmup", type=int, default=1)
+    args = ap.parse_args()
+
+    import torch
+
+    # The bare image has no torchvision; the reference imports it at module
+    # scope (CheXNet.py:8, Modality.py) but this benchmark never calls into
+    # those paths — stub just enough for import to succeed.
+    import types
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.models = types.ModuleType("torchvision.models")
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        tv.transforms.Compose = lambda *a, **k: (lambda x: x)
+        tv.transforms.ToPILImage = lambda *a, **k: (lambda x: x)
+        tv.transforms.Resize = lambda *a, **k: (lambda x: x)
+        tv.transforms.ToTensor = lambda *a, **k: (lambda x: x)
+        tv.transforms.Normalize = type("Normalize", (), {"__init__": lambda self, *a, **k: None, "__call__": lambda self, x: x})
+        tv.transforms.CenterCrop = lambda *a, **k: (lambda x: x)
+        tv.transforms.FiveCrop = lambda *a, **k: (lambda x: x)
+        tv.transforms.TenCrop = lambda *a, **k: (lambda x: x)
+        tv.transforms.Lambda = lambda f: f
+        tv.transforms.Grayscale = lambda *a, **k: (lambda x: x)
+        tv.utils = types.ModuleType("torchvision.utils")
+        tv.utils.save_image = lambda *a, **k: None
+        tv.utils.make_grid = lambda x, *a, **k: x
+        tv.__path__ = []
+        sys.modules["torchvision.utils"] = tv.utils
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tv.models
+        sys.modules["torchvision.transforms"] = tv.transforms
+
+    from mimic.utils.flags import parser, flags_set_alpha_modalities
+    from mimic.utils.filehandling import get_method
+    from mimic.networks.ConvNetworksImgMimic import EncoderImg, DecoderImg
+    from mimic.networks.ConvNetworksTextMimic import EncoderText, DecoderText
+    from mimic.modalities.MimicPA import MimicPA
+    from mimic.modalities.MimicLateral import MimicLateral
+    from mimic.modalities.MimicText import MimicText
+    from mimic.networks.VAEtrimodalMimic import VAEtrimodalMimic
+    from mimic.evaluation.losses import calc_log_probs, calc_klds, calc_joint_elbo_loss
+
+    flags = parser.parse_args([])
+    flags.method = "joint_elbo"
+    flags = get_method(flags)
+    flags.img_size = 128
+    flags.DIM_img = 64
+    flags.DIM_text = 64
+    flags.class_dim = 64
+    flags.text_encoding = "word"
+    flags.len_sequence = 128
+    flags.vocab_size = 3517
+    flags.batch_size = args.batch
+    flags.device = torch.device("cpu")
+    flags.initial_learning_rate = 5e-4
+    flags = flags_set_alpha_modalities(flags)
+
+    mod1 = MimicPA(EncoderImg(flags, flags.style_pa_dim),
+                   DecoderImg(flags, flags.style_pa_dim), flags)
+    mod2 = MimicLateral(EncoderImg(flags, flags.style_lat_dim),
+                        DecoderImg(flags, flags.style_lat_dim), flags)
+    mod3 = MimicText(EncoderText(flags, flags.style_text_dim),
+                     DecoderText(flags, flags.style_text_dim),
+                     flags.len_sequence, torch.Size((1, 128, 128)), None, flags)
+    mods = {"PA": mod1, "Lateral": mod2, "text": mod3}
+
+    from itertools import chain, combinations
+
+    names = list(mods)
+    subsets = {}
+    for combo in chain.from_iterable(combinations(names, n) for n in range(len(names) + 1)):
+        subsets["_".join(sorted(combo))] = [mods[m] for m in sorted(combo)]
+
+    model = VAEtrimodalMimic(flags, mods, subsets)
+    model.train()
+    opt = torch.optim.Adam(model.parameters(), lr=flags.initial_learning_rate,
+                           betas=(flags.beta_1, flags.beta_2))
+
+    class Exp:  # minimal experiment shim for the loss functions
+        pass
+
+    exp = Exp()
+    exp.flags = flags
+    exp.modalities = mods
+    exp.rec_weights = {"PA": flags.rec_weight_m1, "Lateral": flags.rec_weight_m2,
+                       "text": flags.rec_weight_m3}
+    exp.style_weights = {"PA": flags.beta_m1_style, "Lateral": flags.beta_m2_style,
+                         "text": flags.beta_m3_style}
+
+    torch.manual_seed(0)
+    batch_d = {
+        "PA": torch.rand(args.batch, 1, 128, 128),
+        "Lateral": torch.rand(args.batch, 1, 128, 128),
+        "text": torch.randint(0, flags.vocab_size, (args.batch, 128)).float(),
+    }
+    batch = [batch_d, None]
+
+    def step():
+        results = model(batch_d)
+        log_probs, weighted_log_prob = calc_log_probs(exp, results, batch)
+        group_divergence = results["joint_divergence"]
+        _klds = calc_klds(exp, results)
+        total = calc_joint_elbo_loss(exp, None, group_divergence, flags.beta_style,
+                                     flags.beta_content, weighted_log_prob, flags.beta)
+        opt.zero_grad()
+        total.backward()
+        opt.step()
+        return float(total)
+
+    for _ in range(args.warmup):
+        step()
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        loss = step()
+    dt = time.perf_counter() - t0
+    sps = args.batch * args.steps / dt
+
+    out = {
+        "reference_samples_per_sec": sps,
+        "reference_hardware": "cpu (torch eager; reference was GPU-era torch 1.6)",
+        "config": {"method": "joint_elbo", "img_size": 128, "DIM_img": 64,
+                    "DIM_text": 64, "class_dim": 64, "text_encoding": "word",
+                    "batch": args.batch, "steps": args.steps},
+        "last_loss": loss,
+    }
+    with open(os.path.join(REPO, "BASELINE_MEASURED.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

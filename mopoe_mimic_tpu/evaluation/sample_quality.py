@@ -70,30 +70,32 @@ def compute_prd(ref_hist: np.ndarray, eval_hist: np.ndarray, num_angles: int = 1
     return np.clip(precision, 0, 1), np.clip(recall, 0, 1)
 
 
-def histogram_pair(eval_data: np.ndarray, ref_data: np.ndarray, num_clusters: int = 20,
-                   num_runs: int = 10, seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
-    """Cluster the union, histogram each set over cluster ids (averaged over
-    num_runs k-means restarts like the published PRD reference)."""
-    rng = np.random.default_rng(seed)
-    e_sum = np.zeros(num_clusters)
-    r_sum = np.zeros(num_clusters)
+def cluster_into_bins(eval_data: np.ndarray, ref_data: np.ndarray,
+                      num_clusters: int, seed: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Cluster the union, histogram each set over cluster ids."""
     both = np.concatenate([eval_data, ref_data])
-    for run in range(num_runs):
-        km = KMeans(n_clusters=num_clusters, n_init=1,
-                    random_state=int(rng.integers(0, 2 ** 31)))
-        labels = km.fit_predict(both)
-        e = np.bincount(labels[: len(eval_data)], minlength=num_clusters)
-        r = np.bincount(labels[len(eval_data):], minlength=num_clusters)
-        e_sum += e / e.sum()
-        r_sum += r / r.sum()
-    return e_sum / num_runs, r_sum / num_runs
+    km = KMeans(n_clusters=num_clusters, n_init=1, random_state=seed)
+    labels = km.fit_predict(both)
+    e = np.bincount(labels[: len(eval_data)], minlength=num_clusters)
+    r = np.bincount(labels[len(eval_data):], minlength=num_clusters)
+    return e / e.sum(), r / r.sum()
 
 
 def compute_prd_from_embedding(eval_data: np.ndarray, ref_data: np.ndarray,
                                num_clusters: int = 20, num_runs: int = 10,
                                seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
-    e_hist, r_hist = histogram_pair(eval_data, ref_data, num_clusters, num_runs, seed)
-    return compute_prd(r_hist, e_hist)
+    """Average the PRD *curves* over k-means restarts (cluster ids are
+    arbitrary per run, so histograms must not be averaged across runs)."""
+    rng = np.random.default_rng(seed)
+    ps, rs = [], []
+    for _ in range(num_runs):
+        e_hist, r_hist = cluster_into_bins(
+            eval_data, ref_data, num_clusters, int(rng.integers(0, 2 ** 31))
+        )
+        p, r = compute_prd(r_hist, e_hist)
+        ps.append(p)
+        rs.append(r)
+    return np.mean(ps, axis=0), np.mean(rs, axis=0)
 
 
 def prd_to_max_f_beta_pair(precision: np.ndarray, recall: np.ndarray,

@@ -52,6 +52,13 @@ class Experiment:
         self.checkpoints = (
             CheckpointManager(self.paths["checkpoints"]) if make_dirs else None
         )
+        if make_dirs:
+            # persist the full config for --load_flags / auditability
+            # (flags.rar parity, mimic/utils/utils.py:130-136)
+            import json
+
+            with open(f"{self.paths['experiment_run']}/config.json", "w") as f:
+                json.dump(cfg.to_dict(), f, indent=2, default=str)
 
     # ------------------------------------------------------------------
 

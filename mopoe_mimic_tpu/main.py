@@ -75,8 +75,34 @@ class Main:
         return result
 
 
+def load_flags(cfg: MopoeConfig, path: str) -> MopoeConfig:
+    """Overlay hyperparameters from a previous run's persisted config,
+    keeping this run's paths (parity: --load_flags, flags.py:159-163)."""
+    import dataclasses
+    import json
+
+    with open(path) as f:
+        old = json.load(f)
+    known = {f.name for f in dataclasses.fields(MopoeConfig)}
+    params = {
+        k: v for k, v in old.items()
+        if k in known and "dir" not in k and "path" not in k
+    }
+    return cfg.replace(**params)
+
+
 def main(argv=None):
+    import sys as _sys
+
+    argv = list(argv if argv is not None else _sys.argv[1:])
+    flags_path = None
+    if "--load_flags" in argv:
+        i = argv.index("--load_flags")
+        flags_path = argv[i + 1]
+        del argv[i : i + 2]
     cfg = MopoeConfig.from_cli(argv)
+    if flags_path:
+        cfg = load_flags(cfg, flags_path)
     if cfg.seed is None:
         cfg = cfg.replace(seed=int(np.random.default_rng().integers(0, 10000)))
     return Main(cfg).main()

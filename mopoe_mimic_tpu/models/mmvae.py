@@ -149,9 +149,16 @@ class MMVae(nn.Module):
         # --- per-subset fusion -------------------------------------------
         if method.uses_poe_fusion:
             mask = F.subset_mask_matrix(present)
-            s_mu, s_lv = F.poe_subsets(
-                mus, logvars, mask, prior_expert=(method is Method.POE)
-            )  # [S, B, D]
+            if cfg.use_pallas_fusion:
+                from mopoe_mimic_tpu.ops.pallas_fusion import poe_subsets_pallas
+
+                s_mu, s_lv = poe_subsets_pallas(
+                    mus, logvars, mask, prior_expert=(method is Method.POE)
+                )
+            else:
+                s_mu, s_lv = F.poe_subsets(
+                    mus, logvars, mask, prior_expert=(method is Method.POE)
+                )  # [S, B, D]
         else:  # moe / jsd: deterministic mixture within each subset
             per_subset = []
             for members in subsets.values():

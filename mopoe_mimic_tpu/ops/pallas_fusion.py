@@ -1,0 +1,100 @@
+"""Pallas TPU kernel for the MoPoE subset-fusion hot op.
+
+Computes, in one VMEM pass over the stacked unimodal posteriors
+[M, B, D], the product-of-experts posterior of *every* modality subset
+(the reference's per-subset Python loop, BaseMMVae.py:148-177): per batch
+tile, the M experts' (mu, logvar) blocks are loaded once into VMEM and all
+S = 2^M - 1 masked precision-sums are produced from them — the [S, B, D]
+subset posteriors never round-trip through HBM between the exp/
+reciprocal/accumulate steps, and the per-expert precisions are computed
+once instead of once per subset.
+
+The subset membership mask is a compile-time constant, so the kernel
+unrolls over subsets with static masks (no control flow on device).
+
+`poe_subsets_pallas` matches `ops.fusion.poe_subsets` bit-for-bit in
+float32 (tested in interpret mode on CPU); the model uses it on TPU when
+config.use_pallas_fusion is set and falls back to the einsum formulation
+elsewhere.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:  # pltpu only resolves on TPU builds; interpret mode needs no memory spaces
+    from jax.experimental.pallas import tpu as pltpu
+
+    _VMEM = pltpu.VMEM
+except ImportError:  # pragma: no cover
+    pltpu = None
+    _VMEM = None
+
+EPS = 1e-8
+
+
+def _fusion_kernel(mask_rows, prior_t, mus_ref, lvs_ref, mu_out_ref, lv_out_ref):
+    """mus/lvs: [M, TB, D] VMEM blocks → outputs [S, TB, D].
+
+    mask_rows: tuple of tuples of member indices (static).
+    prior_t: 0.0 or the N(0, I) expert's precision 1/(1+eps) (static).
+    """
+    var = jnp.exp(lvs_ref[:]) + EPS
+    t = 1.0 / var          # [M, TB, D] — computed once for all subsets
+    mu_t = mus_ref[:] * t
+    for s, members in enumerate(mask_rows):
+        t_sum = prior_t
+        mu_t_sum = 0.0
+        for m in members:  # static unroll over the subset's experts
+            t_sum = t_sum + t[m]
+            mu_t_sum = mu_t_sum + mu_t[m]
+        pd_var = 1.0 / t_sum
+        mu_out_ref[s, :, :] = mu_t_sum * pd_var
+        lv_out_ref[s, :, :] = jnp.log(pd_var)
+
+
+def poe_subsets_pallas(
+    mus: jnp.ndarray,
+    logvars: jnp.ndarray,
+    subset_mask: np.ndarray,
+    prior_expert: bool = False,
+    batch_tile: int = 128,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Drop-in replacement for ops.fusion.poe_subsets on TPU."""
+    m, b, d = mus.shape
+    s = subset_mask.shape[0]
+    mask_rows = tuple(
+        tuple(int(i) for i in np.nonzero(subset_mask[row])[0]) for row in range(s)
+    )
+    prior_t = 1.0 / (1.0 + EPS) if prior_expert else 0.0
+    tb = min(batch_tile, b)
+    if b % tb:
+        tb = b  # odd batch: single tile
+
+    kernel = functools.partial(_fusion_kernel, mask_rows, prior_t)
+    block_in = pl.BlockSpec((m, tb, d), lambda i: (0, i, 0), memory_space=_VMEM)
+    block_out = pl.BlockSpec((s, tb, d), lambda i: (0, i, 0), memory_space=_VMEM)
+    if _VMEM is None or interpret:
+        block_in = pl.BlockSpec((m, tb, d), lambda i: (0, i, 0))
+        block_out = pl.BlockSpec((s, tb, d), lambda i: (0, i, 0))
+
+    out_shape = [
+        jax.ShapeDtypeStruct((s, b, d), mus.dtype),
+        jax.ShapeDtypeStruct((s, b, d), mus.dtype),
+    ]
+    mu_s, lv_s = pl.pallas_call(
+        kernel,
+        grid=(b // tb,),
+        in_specs=[block_in, block_in],
+        out_specs=[block_out, block_out],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(mus, logvars)
+    return mu_s, lv_s

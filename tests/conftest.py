@@ -4,12 +4,15 @@ Mirrors the reference's strategy of exercising the multi-device path on a
 single host (mimic/tests/test_training.py:116-119 runs DDP via mp.spawn on
 one node); here a forced host-platform device count gives 8 CPU 'chips'
 for mesh/sharding tests without TPU hardware.
+
+Note: the environment's sitecustomize may force-register a remote TPU
+backend and override JAX_PLATFORMS, so the CPU override must go through
+jax.config *after* import.
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,3 +20,7 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,67 @@
+"""Unit tests for evaluation math: Metrics, BLEU, FID/PRD, IWAE pieces."""
+
+import numpy as np
+
+from mopoe_mimic_tpu.evaluation.bleu import common_word_count, corpus_bleu
+from mopoe_mimic_tpu.evaluation.metrics import Metrics
+from mopoe_mimic_tpu.evaluation.sample_quality import (
+    calculate_fid, compute_prd, compute_prd_from_embedding, prd_to_max_f_beta_pair,
+)
+
+
+def test_metrics_perfect_prediction():
+    pred = np.array([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+    m = Metrics(pred, pred, ["a", "b"]).evaluate()
+    assert m["accuracy"][0] == 1.0
+    assert abs(m["dice"][0] - 1.0) < 1e-3
+    assert abs(m["mean_AP_total"][0] - 1.0) < 1e-6
+    assert m["pred_count_a"][0] == 2.0
+
+
+def test_metrics_known_confusion():
+    # pred: [1,1,0,0], gt: [1,0,1,0] → TP=1 FP=1 FN=1 TN=1
+    pred = np.array([[1], [1], [0], [0]], dtype=float)
+    gt = np.array([[1], [0], [1], [0]], dtype=float)
+    m = Metrics(pred, gt, ["x"]).evaluate()
+    assert abs(m["accuracy"][0] - 0.5) < 1e-6
+    assert abs(m["recall"][0] - 0.5) < 1e-4
+    assert abs(m["precision"][0] - 0.5) < 1e-4
+    assert abs(m["jaccard"][0] - 1 / 3) < 1e-4
+
+
+def test_corpus_bleu_identity_and_mismatch():
+    refs = [["the", "cat", "sat"], ["a", "dog", "ran", "far"]]
+    out = corpus_bleu(refs, refs)
+    for n in range(1, 5):
+        assert abs(out[f"bleu_{n}"] - (1.0 if n <= 3 else out["bleu_4"])) < 1e-6
+    out2 = corpus_bleu(refs, [["xx"], ["yy"]])
+    assert out2["bleu_1"] == 0.0
+    assert common_word_count(refs[0], ["the", "zz"]) == 1
+
+
+def test_fid_zero_for_identical_sets():
+    rng = np.random.default_rng(0)
+    acts = rng.normal(size=(200, 8))
+    assert abs(calculate_fid(acts, acts)) < 1e-4
+    shifted = acts + 5.0
+    assert calculate_fid(acts, shifted) > 20.0
+
+
+def test_prd_identical_distributions_high_precision_recall():
+    rng = np.random.default_rng(1)
+    a = rng.normal(size=(300, 4))
+    b = rng.normal(size=(300, 4))
+    p, r = compute_prd_from_embedding(a, b, num_clusters=5, num_runs=2)
+    f8, f18 = prd_to_max_f_beta_pair(p, r)
+    assert f8 > 0.8 and f18 > 0.8
+    # disjoint distributions → low curve
+    c = rng.normal(loc=50.0, size=(300, 4))
+    p2, r2 = compute_prd_from_embedding(a, c, num_clusters=5, num_runs=2)
+    assert np.mean(p2) < np.mean(p) / 2
+
+
+def test_prd_histogram_math():
+    ref = np.array([0.5, 0.5])
+    ev = np.array([0.5, 0.5])
+    p, r = compute_prd(ref, ev)
+    assert p.max() > 0.99 and r.max() > 0.99

@@ -69,7 +69,7 @@ def test_poe_subsets_equals_per_subset_poe():
     mask = subset_mask_matrix(names)
     mu_all, lv_all = poe_subsets(mus, logvars, mask)
     for row, members in enumerate(subset_powerset(names).values()):
-        idx = list(members)
+        idx = np.asarray(members)
         mu_ref, lv_ref = poe(mus[idx], logvars[idx])
         np.testing.assert_allclose(np.asarray(mu_all[row]), np.asarray(mu_ref), rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(lv_all[row]), np.asarray(lv_ref), rtol=1e-4, atol=1e-5)

@@ -50,8 +50,13 @@ def test_forward_structure_per_method(method):
     cfg = cfg.replace(vocab_size=3517)
     batch = _batch(cfg)
     model, variables = _init(cfg, batch)
-    out = model.apply(
-        variables, batch, train=False, rngs={"reparam": jax.random.PRNGKey(3)}
+    # train mode: eval-mode BN running stats are meaningless on a fresh
+    # model (they only converge over training), so finiteness is asserted
+    # on the batch-stat path
+    out, _ = model.apply(
+        variables, batch, train=True,
+        rngs={"reparam": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)},
+        mutable=["batch_stats"],
     )
     # 7 subsets enumerated for 3 modalities, reference key order
     assert set(out["latents"]["subsets"].keys()) == {
@@ -73,7 +78,7 @@ def test_inference_poe_subset_math_matches_manual():
     model, variables = _init(cfg, batch)
     out = model.apply(
         variables, batch, train=False, rngs={"reparam": jax.random.PRNGKey(3)},
-        method=lambda m, b: m.inference(b, train=False),
+        method=lambda m, b, train=False: m.inference(b, train=train),
     )
     mods = out["modalities"]
     mu_pa, lv_pa = mods["PA"]
@@ -97,7 +102,7 @@ def test_missing_modality_subsets():
     model, variables = _init(cfg, batch)
     out = model.apply(
         variables, partial, train=False, rngs={"reparam": jax.random.PRNGKey(3)},
-        method=lambda m, b: m.inference(b, train=False),
+        method=lambda m, b, train=False: m.inference(b, train=train),
     )
     assert set(out["subsets"].keys()) == {"PA", "text", "PA_text"}
     assert out["mus"].shape[0] == 3
