@@ -122,3 +122,66 @@ def gaussian_entropy(logvar: jnp.ndarray, norm_value: Optional[float] = None) ->
     if norm_value is not None:
         ent = ent / float(norm_value)
     return ent
+
+
+# ---------------------------------------------------------------------------
+# Gaussian-mixture KL bounds (JSD variant toolbox, kl_div.py:19-111):
+# variational lower/upper bounds on KL(q_k ‖ mixture) via pairwise Gaussian
+# overlap integrals.
+# ---------------------------------------------------------------------------
+
+def _gaussian_scaling_factor(mu1, logvar1, mu2=None, logvar2=None,
+                             norm_value: Optional[float] = None):
+    """Pairwise Gaussian product mass (kl_div.py:19-37)."""
+    two_pi = 2.0 * math.pi
+    d = mu1.shape[1]
+    if mu2 is None or logvar2 is None:
+        s_pre = (1.0 / two_pi ** (d / 2)) * jnp.sum(jnp.exp(logvar1) + 1.0, axis=1) ** 0.5
+        s = s_pre * jnp.sum(jnp.exp(-0.5 * mu1 ** 2 / (jnp.exp(logvar1) + 1.0)), axis=1)
+    else:
+        var_sum = jnp.exp(logvar1) + jnp.exp(logvar2)
+        s_pre = jnp.sum(1.0 / (two_pi ** (d / 2) * var_sum), axis=1) ** 0.5
+        s = s_pre * jnp.sum(jnp.exp(-0.5 * (mu1 - mu2) ** 2 / var_sum), axis=1)
+    s = jnp.sum(s)
+    return s / float(norm_value) if norm_value is not None else s
+
+
+def _gaussian_scaling_factor_self(logvar1, norm_value: Optional[float] = None):
+    d = logvar1.shape[1]
+    s = (1.0 / (2.0 * math.pi) ** (d / 2)) * jnp.sum(jnp.exp(logvar1), axis=1) ** 0.5
+    s = jnp.sum(s)
+    return s / float(norm_value) if norm_value is not None else s
+
+
+def kl_divergence_lb_gauss_mixture(index: int, mu1, logvar1, mus, logvars,
+                                   weights, norm_value: Optional[float] = None):
+    """Lower bound on KL(q_index ‖ w-weighted mixture + uniform prior)
+    (kl_div.py:62-78); weights[0] is the uniform-prior weight."""
+    denom = weights[0] * _gaussian_scaling_factor(mu1, logvar1, norm_value=norm_value)
+    for k in range(len(mus)):
+        if k == index:
+            denom = denom + weights[k + 1] * _gaussian_scaling_factor_self(
+                logvar1, norm_value=norm_value
+            )
+        else:
+            denom = denom + weights[k + 1] * _gaussian_scaling_factor(
+                mu1, logvar1, mus[k], logvars[k], norm_value=norm_value
+            )
+    return -jnp.log(denom)
+
+
+def kl_divergence_ub_gauss_mixture(index: int, mu1, logvar1, mus, logvars,
+                                   weights, entropy,
+                                   norm_value: Optional[float] = None,
+                                   cap: float = 1e5):
+    """Upper bound (kl_div.py:81-100)."""
+    nom = _gaussian_scaling_factor_self(logvar1, norm_value=norm_value)
+    kl_uniform = kl_divergence(mu1, logvar1, norm_value=norm_value)
+    denom = weights[0] * jnp.minimum(jnp.exp(kl_uniform), cap)
+    for k in range(len(mus)):
+        if k == index:
+            denom = denom + weights[k + 1]
+        else:
+            kl_k = kl_divergence(mu1, logvar1, mus[k], logvars[k], norm_value=norm_value)
+            denom = denom + weights[k + 1] * jnp.minimum(jnp.exp(kl_k), cap)
+    return jnp.log(nom) - jnp.log(denom) + entropy
