@@ -144,6 +144,15 @@ class _Column:
     def __getitem__(self, idx) -> np.ndarray:
         idx = np.atleast_1d(np.asarray(idx))
         if self.key == "text":
+            if self.ds.cfg.text_encoding == "char":
+                # native batch one-hot (mopoe_mimic_tpu/native); numpy fallback inside
+                from mopoe_mimic_tpu.native import one_hot_encode_batch
+
+                texts = [
+                    str(self.ds.report_findings.iloc[int(self.ds.row_index[i])])
+                    for i in idx
+                ]
+                return one_hot_encode_batch(texts, self.ds.cfg.len_sequence)
             return np.stack([self.ds._encode_text(int(self.ds.row_index[i])) for i in idx])
         store = self.ds.imgs_pa if self.key == "PA" else self.ds.imgs_lat
         return np.stack([self.ds._img(store, int(self.ds.row_index[i])) for i in idx])

@@ -28,6 +28,17 @@ from mopoe_mimic_tpu.evaluation.metrics import eval_label_ap
 from mopoe_mimic_tpu.utils.logger import log
 
 
+def transform_gen_samples(cfg: MopoeConfig, modality: str, x: np.ndarray) -> np.ndarray:
+    """Adapt generated samples to the classifier's input contract
+    (transform_gen_samples, coherence.py:115-125): word-encoded text is
+    generated as per-position vocab probabilities but the word classifier
+    consumes token ids → argmax."""
+    x = np.asarray(x)
+    if modality == "text" and cfg.text_encoding == "word" and x.ndim == 3:
+        return np.argmax(x, axis=-1).astype(np.int32)
+    return x
+
+
 class CoherenceEvaluator:
     """Holds the per-modality classifiers (predict fns closed over their
     trained params)."""
@@ -37,12 +48,17 @@ class CoherenceEvaluator:
         self.cfg = cfg
         self.clf_predict = dict(clf_predict)
 
+    def _predict(self, modality: str, x: np.ndarray) -> np.ndarray:
+        return np.asarray(
+            self.clf_predict[modality](transform_gen_samples(self.cfg, modality, x))
+        )
+
     # -- random generation coherence -----------------------------------
     def calculate_coherence(self, samples: Mapping[str, np.ndarray], labels_names) -> Dict[str, float]:
         cfg = self.cfg
         preds = []
         for m in cfg.modality_names:
-            probs = np.asarray(self.clf_predict[m](samples[m]))
+            probs = self._predict(m, samples[m])
             preds.append(np.argmax(np.nan_to_num(probs), axis=1))
         preds = np.stack(preds)  # [M, B]
         coherent = np.all(preds == preds[0:1], axis=0)
@@ -60,7 +76,7 @@ class CoherenceEvaluator:
         }
         for s_key, gen in cond_samples.items():
             for m in self.cfg.modality_names:
-                probs = np.nan_to_num(np.asarray(self.clf_predict[m](gen[m])))
+                probs = np.nan_to_num(self._predict(m, gen[m]))
                 for li, l_key in enumerate(labels_names):
                     out[l_key][s_key][m] = eval_label_ap(probs, labels, li)
         return out

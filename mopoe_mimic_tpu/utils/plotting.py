@@ -13,6 +13,7 @@ import os
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from mopoe_mimic_tpu.utils.logger import log
@@ -27,7 +28,8 @@ def _to_grid(images: np.ndarray, per_row: int = 8) -> np.ndarray:
     for i in range(n):
         r, col = divmod(i, per_row)
         grid[r * h : (r + 1) * h, col * w : (col + 1) * w] = images[i]
-    return np.clip(grid, 0.0, 1.0)
+    # untrained eval-mode BN can emit non-finite pixels early in training
+    return np.clip(np.nan_to_num(grid), 0.0, 1.0)
 
 
 def text_to_pil(tokens, size=(128, 128), font_path: Optional[str] = None) -> np.ndarray:
@@ -52,12 +54,23 @@ def text_to_pil(tokens, size=(128, 128), font_path: Optional[str] = None) -> np.
         return np.ones((*size, 3), dtype=np.float32)
 
 
+def _modality_frames(cfg, exp, m: str, data: np.ndarray, n: int) -> np.ndarray:
+    """Per-modality sample frames: images pass through, text renders to PIL."""
+    if m != "text":
+        return np.asarray(data[:n])
+    from mopoe_mimic_tpu.data.text_codec import tensor_to_tokens
+
+    toks = tensor_to_tokens(cfg, exp, np.asarray(data[:n]), probs=True)
+    return np.stack([text_to_pil(t) for t in toks])
+
+
 def generate_plots(exp, state, epoch: int, num_samples: int = 0) -> Dict[str, np.ndarray]:
-    """Random + conditional generation grids; saved to disk when
-    cfg.save_figure (plots/{random_samples,cond_gen})."""
+    """Random, conditional-generation, and (factorized) style-swap grids
+    (generate_plots, mimic/utils/plotting.py:10-182); saved to disk when
+    cfg.save_figure under plots/{random_samples,cond_gen,swapping}."""
     cfg = exp.cfg
     model = exp.model
-    n = num_samples or min(cfg.batch_size, 16)
+    n = num_samples or min(cfg.batch_size, 8)
 
     @jax.jit
     def rand_gen(params, batch_stats, r):
@@ -65,23 +78,103 @@ def generate_plots(exp, state, epoch: int, num_samples: int = 0) -> Dict[str, np
                            cfg.batch_size, train=False, rngs={"reparam": r},
                            method=lambda m, k, train: m.generate(k, train=train))
 
+    @jax.jit
+    def cond_gen(params, batch_stats, batch, r):
+        def go(mod, b, train):
+            latents = mod.inference(b, train=train)
+            return mod.cond_generation(latents["subsets"], train=train)
+
+        return model.apply({"params": params, "batch_stats": batch_stats},
+                           batch, train=False, rngs={"reparam": r}, method=go)
+
     rng = jax.random.PRNGKey((cfg.seed or 0) + 71)
-    gen = jax.device_get(rand_gen(state.params, state.batch_stats, rng))
+    rng, r1, r2 = jax.random.split(rng, 3)
+    gen = jax.device_get(rand_gen(state.params, state.batch_stats, r1))
 
     plots: Dict[str, np.ndarray] = {}
     for m in cfg.modality_names:
-        if m == "text":
-            from mopoe_mimic_tpu.data.text_codec import tensor_to_tokens
+        try:
+            plots[f"random/{m}"] = _to_grid(
+                _modality_frames(cfg, exp, m, gen[m], n if m != "text" else 4),
+                per_row=2 if m == "text" else 8,
+            )
+        except Exception as e:
+            log.debug(f"random plot for {m} skipped: {e}")
 
+    # conditional generation grids: per input subset, inputs row + each
+    # generated modality row (plotting.py cond-gen grids per subset size)
+    try:
+        test_batch, _ = next(iter(exp.make_loaders()[1]))
+        cond = jax.device_get(
+            cond_gen(state.params, state.batch_stats, test_batch, r2)
+        )
+        for s_key, per_mod in cond.items():
+            rows = []
+            for m in cfg.modality_names:
+                rows.append(_modality_frames(cfg, exp, m, per_mod[m], 4))
+            # harmonize frame shapes (text frames are RGB plot-size)
             try:
-                toks = tensor_to_tokens(cfg, exp, np.asarray(gen[m][:4]), probs=True)
-                frames = np.stack([text_to_pil(t) for t in toks])
-                plots[f"random/{m}"] = _to_grid(frames, per_row=2)
-            except Exception as e:
-                log.debug(f"text plot skipped: {e}")
-        else:
-            plots[f"random/{m}"] = _to_grid(np.asarray(gen[m][:n]))
+                frames = np.concatenate(rows) if all(
+                    r.shape[1:] == rows[0].shape[1:] for r in rows
+                ) else rows[0]
+                plots[f"cond_gen/{s_key}"] = _to_grid(frames, per_row=4)
+            except ValueError:
+                pass
+    except Exception as e:
+        log.debug(f"cond-gen plots skipped: {e}")
 
+    # style swapping (factorized representation only, plotting.py swap grids)
+    if cfg.factorized_representation:
+        try:
+            plots.update(_swap_grids(exp, state, test_batch, rng))
+        except Exception as e:
+            log.debug(f"swap plots skipped: {e}")
+
+    _save_figures(exp, plots, epoch)
+    return plots
+
+
+def _swap_grids(exp, state, batch, rng) -> Dict[str, np.ndarray]:
+    """Style-swap grid per image modality: content latent of sample i ×
+    style latent of sample j (factorized mode, plotting.py swap grids)."""
+    cfg = exp.cfg
+    model = exp.model
+    k = 4
+
+    @jax.jit
+    def swap(params, batch_stats, b, r):
+        def go(mod, b, train):
+            latents = mod.inference(b, train=train)
+            out = {}
+            for m in cfg.modality_names:
+                if m == "text" or not cfg.style_dims[m]:
+                    continue
+                c_mu, _ = latents["joint"]
+                s_mu, _ = latents["styles"][m]
+                # content row i, style column j → [k, k, ...]
+                imgs = []
+                for i in range(k):
+                    row = []
+                    for j in range(k):
+                        z_c = c_mu[i : i + 1]
+                        z_s = s_mu[j : j + 1]
+                        row.append(mod.decoders[m](z_c, z_s, train=train)[0])
+                    imgs.append(jnp.stack(row))
+                out[m] = jnp.stack(imgs)
+            return out
+
+        return model.apply({"params": params, "batch_stats": batch_stats},
+                           b, train=False, rngs={"reparam": r}, method=go)
+
+    swapped = jax.device_get(swap(state.params, state.batch_stats, batch, rng))
+    return {
+        f"swapping/{m}": _to_grid(np.asarray(v).reshape((-1,) + v.shape[2:]), per_row=k)
+        for m, v in swapped.items()
+    }
+
+
+def _save_figures(exp, plots: Dict[str, np.ndarray], epoch: int) -> None:
+    cfg = exp.cfg
     if cfg.save_figure:
         try:
             import matplotlib
@@ -97,4 +190,3 @@ def generate_plots(exp, state, epoch: int, num_samples: int = 0) -> Dict[str, np
                            cmap="gray" if img.shape[-1] == 1 else None)
         except Exception as e:
             log.debug(f"figure save skipped: {e}")
-    return plots
