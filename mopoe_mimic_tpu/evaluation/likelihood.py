@@ -53,10 +53,13 @@ def _mod_log_prob(cfg: MopoeConfig, name: str, rec, target):
     """Elementwise modality log-prob summed per-sample → [N]."""
     if name == "text":
         if cfg.text_encoding == "word":
-            onehot = jnp.eye(cfg.num_features, dtype=rec.dtype)[target.astype(jnp.int32)]
+            # gather target-token log-prob (no [N, L, vocab] one-hot)
+            log_norm = jax.nn.log_softmax(rec, axis=-1)
+            lp = jnp.take_along_axis(
+                log_norm, target.astype(jnp.int32)[..., None], axis=-1
+            )[..., 0]
         else:
-            onehot = target
-        lp = one_hot_categorical_log_prob(onehot, rec)
+            lp = one_hot_categorical_log_prob(target, rec)
     else:
         lp = laplace_log_prob(target, rec, IMG_FIXED_SCALE)
     return jnp.sum(lp.reshape(lp.shape[0], -1), axis=1)

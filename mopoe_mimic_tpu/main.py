@@ -20,6 +20,14 @@ import time
 
 import numpy as np
 
+try:  # persistent executable cache: recompiles are the dominant cold cost
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mopoe_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:  # pragma: no cover
+    pass
+
 from mopoe_mimic_tpu.config import MopoeConfig
 from mopoe_mimic_tpu.experiment import Experiment
 from mopoe_mimic_tpu.train.loop import run_epochs

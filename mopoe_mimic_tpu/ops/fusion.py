@@ -100,17 +100,28 @@ def poe_subsets(
     Returns mu, logvar of shape [S, B, D]. Replaces the per-subset Python
     loop at BaseMMVae.py:148-177 with two einsums (MXU-tileable).
     """
-    mask = jnp.asarray(subset_mask, dtype=mus.dtype)
     var = jnp.exp(logvars) + eps
     t = 1.0 / var
-    t_sum = jnp.einsum("sm,mbd->sbd", mask, t)
-    mu_t_sum = jnp.einsum("sm,mbd->sbd", mask, mus * t)
-    if prior_expert:
-        prior_t = 1.0 / (1.0 + eps)  # exp(logvar=0) + eps
-        t_sum = t_sum + prior_t
-        # prior mu = 0 → contributes nothing to mu_t_sum
-    pd_var = 1.0 / t_sum
-    pd_mu = mu_t_sum * pd_var
+    mu_t = mus * t
+    prior_t = 1.0 / (1.0 + eps) if prior_expert else 0.0  # exp(0) + eps
+    # static unrolled masked sums: the membership mask is a compile-time
+    # constant and S is tiny (≤ 7), so per-subset adds are exact f32 and
+    # cheaper than routing a 0/1 contraction through the MXU (whose default
+    # matmul precision costs accuracy on TPU)
+    mask = np.asarray(subset_mask) > 0.5
+    t_rows, mu_rows = [], []
+    for row in range(mask.shape[0]):
+        members = np.nonzero(mask[row])[0]
+        t_sum = prior_t
+        mu_t_sum = 0.0
+        for m in members:
+            t_sum = t_sum + t[int(m)]
+            mu_t_sum = mu_t_sum + mu_t[int(m)]
+        t_rows.append(t_sum)
+        mu_rows.append(mu_t_sum)
+    t_all = jnp.stack(t_rows)
+    pd_var = 1.0 / t_all
+    pd_mu = jnp.stack(mu_rows) * pd_var
     return pd_mu, jnp.log(pd_var)
 
 

@@ -67,7 +67,43 @@ def poe_subsets_pallas(
     batch_tile: int = 128,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Drop-in replacement for ops.fusion.poe_subsets on TPU."""
+    """Differentiable wrapper: Pallas kernel forward; backward through the
+    einsum formulation's VJP (pallas_call has no autodiff rule — the
+    fusion backward is negligible next to the conv towers)."""
+    from mopoe_mimic_tpu.ops.fusion import poe_subsets as _einsum_poe
+
+    mask_key = tuple(map(tuple, np.asarray(subset_mask).astype(np.int8).tolist()))
+
+    @jax.custom_vjp
+    def _op(mus, logvars):
+        return _poe_subsets_pallas_raw(
+            mus, logvars, subset_mask, prior_expert, batch_tile, interpret
+        )
+
+    def _fwd(mus, logvars):
+        return _op(mus, logvars), (mus, logvars)
+
+    def _bwd(res, cts):
+        mus, logvars = res
+        _, vjp = jax.vjp(
+            lambda m, lv: _einsum_poe(m, lv, subset_mask, prior_expert=prior_expert),
+            mus, logvars,
+        )
+        return vjp(cts)
+
+    _op.defvjp(_fwd, _bwd)
+    return _op(mus, logvars)
+
+
+def _poe_subsets_pallas_raw(
+    mus: jnp.ndarray,
+    logvars: jnp.ndarray,
+    subset_mask: np.ndarray,
+    prior_expert: bool = False,
+    batch_tile: int = 128,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The raw (non-differentiable) kernel invocation."""
     m, b, d = mus.shape
     s = subset_mask.shape[0]
     mask_rows = tuple(

@@ -19,6 +19,7 @@ import numpy as np
 from mopoe_mimic_tpu.config import MopoeConfig
 from mopoe_mimic_tpu.experiment import Experiment
 from mopoe_mimic_tpu.parallel.mesh import batch_sharding, make_mesh, replicate_state, shard_batch
+from mopoe_mimic_tpu.parallel.prefetch import prefetch_to_device
 from mopoe_mimic_tpu.train.callbacks import Callbacks
 from mopoe_mimic_tpu.train.state import TrainState
 from mopoe_mimic_tpu.train.step import make_eval_step, make_train_step
@@ -63,8 +64,10 @@ def run_epochs(
         # ---- train pass ------------------------------------------------
         train_loader.set_epoch(epoch)
         acc = MetricAccumulator()
-        for batch, _labels in _at_most(iter(train_loader), steps_cap):
-            state, metrics = train_step(state, shard_batch(mesh, batch))
+        for batch, _labels in prefetch_to_device(
+            _at_most(iter(train_loader), steps_cap), mesh
+        ):
+            state, metrics = train_step(state, batch)
             acc.update(metrics)
         train_avg = acc.averages()
         _check_nans(cfg, train_avg)

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Dict, Mapping, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from mopoe_mimic_tpu.config import MopoeConfig
@@ -40,11 +41,16 @@ def modality_log_prob(
     """log p(x_m | z), summed over all elements / batch_size."""
     if name == "text":
         if cfg.text_encoding == "word":
+            # gather the target-token log-prob instead of materializing a
+            # [B, L, vocab] one-hot (same OneHotCategorical value, ~59 MB
+            # less HBM traffic per step at vocab 3517)
             target = jnp.squeeze(target, axis=-1) if target.ndim == 3 else target
-            onehot = jnp.eye(cfg.num_features, dtype=rec.dtype)[target.astype(jnp.int32)]
+            log_norm = jax.nn.log_softmax(rec, axis=-1)
+            lp = jnp.take_along_axis(
+                log_norm, target.astype(jnp.int32)[..., None], axis=-1
+            )[..., 0]
         else:
-            onehot = target
-        lp = one_hot_categorical_log_prob(onehot, rec)
+            lp = one_hot_categorical_log_prob(target, rec)
     else:
         lik = cfg.likelihoods[name]
         if lik == "laplace":

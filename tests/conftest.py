@@ -24,3 +24,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persist compiled executables across test runs (the suite is compile-bound)
+jax.config.update("jax_compilation_cache_dir", "/tmp/mopoe_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
