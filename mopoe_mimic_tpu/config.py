@@ -148,6 +148,11 @@ class MopoeConfig:
     inception_state_dict: str = "../inception_state_dict.pth"
     exp_str_prefix: str = "Mimic"
 
+    # global-norm gradient clipping; 0 disables (the reference has none —
+    # it relies on NaN-restart supervision instead; clipping tames the
+    # violent early-training landscape at lr ≥ 5e-4)
+    grad_clip_norm: float = 0.0
+
     # ----- TPU-native knobs (no reference counterpart) ----------------------
     compute_dtype: str = "bfloat16"  # matmul/conv compute dtype
     param_dtype: str = "float32"

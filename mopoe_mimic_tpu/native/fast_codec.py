@@ -48,10 +48,10 @@ def _lib() -> Optional[ctypes.CDLL]:
         if _SO.exists():
             try:
                 _LIB = ctypes.CDLL(str(_SO))
-                return _LIB
             except OSError:
-                pass
-        _LIB = _build()
+                _LIB = _build()
+        else:
+            _LIB = _build()
         if _LIB is not None:
             _LIB.build_lut.argtypes = [
                 ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32,

@@ -31,10 +31,13 @@ def make_optimizer(cfg: MopoeConfig) -> optax.GradientTransformation:
     """Adam with the reference hyperparameters (experiment.py:171-178);
     learning rate injected as a mutable hyperparameter so the
     ReduceLROnPlateau callback can scale it from the host without
-    recompiling."""
-    return optax.inject_hyperparams(optax.adam)(
+    recompiling. Optional global-norm clipping (grad_clip_norm > 0)."""
+    adam = optax.inject_hyperparams(optax.adam)(
         learning_rate=cfg.initial_learning_rate, b1=cfg.beta_1, b2=cfg.beta_2
     )
+    if cfg.grad_clip_norm > 0:
+        return optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), adam)
+    return adam
 
 
 def create_train_state(
@@ -69,12 +72,38 @@ def param_count(params) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(params))
 
 
+def _map_inject_state(opt_state, fn):
+    """Apply fn to the (unique) InjectHyperparamsState inside opt_state,
+    which may be wrapped in optax.chain tuples when clipping is enabled."""
+    if hasattr(opt_state, "hyperparams"):
+        return fn(opt_state)
+    if isinstance(opt_state, tuple):
+        mapped = [_map_inject_state(s, fn) for s in opt_state]
+        if hasattr(opt_state, "_fields"):  # NamedTuple (e.g. EmptyState)
+            return type(opt_state)(*mapped)
+        return tuple(mapped)
+    return opt_state
+
+
+def _find_inject_state(opt_state):
+    if hasattr(opt_state, "hyperparams"):
+        return opt_state
+    if isinstance(opt_state, tuple):
+        for s in opt_state:
+            found = _find_inject_state(s)
+            if found is not None:
+                return found
+    return None
+
+
 def get_learning_rate(state: TrainState) -> float:
-    return float(state.opt_state.hyperparams["learning_rate"])
+    return float(_find_inject_state(state.opt_state).hyperparams["learning_rate"])
 
 
 def set_learning_rate(state: TrainState, lr: float) -> TrainState:
-    hyper = dict(state.opt_state.hyperparams)
-    hyper["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
-    opt_state = state.opt_state._replace(hyperparams=hyper)
-    return state.replace(opt_state=opt_state)
+    def update(inject):
+        hyper = dict(inject.hyperparams)
+        hyper["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+        return inject._replace(hyperparams=hyper)
+
+    return state.replace(opt_state=_map_inject_state(state.opt_state, update))
