@@ -74,6 +74,8 @@ def cluster_into_bins(eval_data: np.ndarray, ref_data: np.ndarray,
                       num_clusters: int, seed: int) -> Tuple[np.ndarray, np.ndarray]:
     """Cluster the union, histogram each set over cluster ids."""
     both = np.concatenate([eval_data, ref_data])
+    # tiny sample sets (smoke evals) can't support the canonical 20 bins
+    num_clusters = min(num_clusters, max(2, len(both) // 4))
     km = KMeans(n_clusters=num_clusters, n_init=1, random_state=seed)
     labels = km.fit_predict(both)
     e = np.bincount(labels[: len(eval_data)], minlength=num_clusters)
@@ -168,9 +170,12 @@ def calc_prd_score(
 
     results = {}
     for m in img_mods:
-        real_acts = embed_fn(np.concatenate(real[m]))
+        # untrained eval-mode BN can emit non-finite samples early in
+        # training (docs/STABILITY.md); sanitize like the reference's
+        # testing-mode nan_to_num (coherence.py:49-53)
+        real_acts = np.nan_to_num(embed_fn(np.concatenate(real[m])))
         for s_key, gen in gen_sets.items():
-            gen_acts = embed_fn(np.concatenate(gen[m]))
+            gen_acts = np.nan_to_num(embed_fn(np.nan_to_num(np.concatenate(gen[m]))))
             results[f"prd_{m}_{s_key}"] = average_prd(gen_acts, real_acts)
             results[f"fid_{m}_{s_key}"] = calculate_fid(real_acts, gen_acts)
     return results

@@ -53,6 +53,20 @@ def test_img_encoder_decoder_shapes(img_size):
     assert y.shape == (2, img_size, img_size, 1)
 
 
+@pytest.mark.slow
+def test_img_256_shapes():
+    # 256px branch: stride-4 resblock_4 in the extractor, two extra
+    # upsample blocks in the generator (FeatureExtractorImg.py:53-60,
+    # DataGeneratorImg.py:71-87)
+    x = jnp.zeros((1, 256, 256, 1))
+    enc = EncoderImg(dim=1, class_dim=4, img_size=256)
+    _, (mu, lv) = _run(enc, x)
+    assert mu.shape == (1, 4)
+    dec = DecoderImg(dim=1, class_dim=4, img_size=256)
+    _, y = _run(dec, mu)
+    assert y.shape == (1, 256, 256, 1)
+
+
 def test_img_encoder_style_heads():
     x = jnp.zeros((2, 64, 64, 1))
     enc = EncoderImg(dim=2, class_dim=6, style_dim=3, img_size=64)
