@@ -93,21 +93,35 @@ class DataGeneratorImg(nn.Module):
 
 
 class EncoderImg(nn.Module):
-    """Feature extractor + (style?, content) Gaussian heads."""
+    """Feature extractor + (style?, content) Gaussian heads.
+
+    feature_extractor selects 'resnet' (the res-block stack) or 'densenet'
+    (DenseNet-121 trunk) like --feature_extractor_img
+    (ConvNetworksImgMimic.py:10-17)."""
 
     dim: int
     class_dim: int
     style_dim: int = 0
     img_size: int = 128
+    feature_extractor: str = "resnet"
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = True):
-        h = FeatureExtractorImg(
-            self.dim, self.img_size, self.dtype, self.param_dtype,
-            name="feature_extractor",
-        )(x, train=train)
+        if self.feature_extractor == "densenet":
+            from mopoe_mimic_tpu.models.densenet import DenseNetFeatureExtractor
+
+            h = DenseNetFeatureExtractor(
+                5 * self.dim, dtype=self.dtype, name="feature_extractor"
+            )(x, train=train)
+        elif self.feature_extractor == "resnet":
+            h = FeatureExtractorImg(
+                self.dim, self.img_size, self.dtype, self.param_dtype,
+                name="feature_extractor",
+            )(x, train=train)
+        else:
+            raise NotImplementedError(self.feature_extractor)
         return LinearFeatureCompressor(
             self.class_dim, self.style_dim, self.dtype, self.param_dtype,
             name="feature_compressor",

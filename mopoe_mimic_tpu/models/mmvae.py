@@ -92,6 +92,7 @@ class MMVae(nn.Module):
                     class_dim=cfg.class_dim,
                     style_dim=style[m],
                     img_size=cfg.img_size,
+                    feature_extractor=cfg.feature_extractor_img,
                     dtype=dtype,
                     param_dtype=pdtype,
                     name=f"encoder_{m}",
