@@ -61,7 +61,8 @@ def main():
             initial_learning_rate=5e-4, donate_state=on_tpu,
             use_pallas_fusion=args.pallas and on_tpu,
             compute_dtype="float32" if args.fp32 else "bfloat16",
-            batch_size=args.batch or (128 * n_chips if on_tpu else 16),
+            # 256/chip = the reference's own cluster batch (job_mimic.sh:26)
+            batch_size=args.batch or (256 * n_chips if on_tpu else 16),
         )
 
     mesh = make_mesh(cfg)
