@@ -1,0 +1,31 @@
+"""The heavy-eval orchestrator end-to-end on the synthetic dataset: all
+four eval modes produce metrics (the reference's test() analog with
+use_clf/calc_nll/eval_lr/calc_prd on, mimic/tests/test_training.py:19-123)."""
+
+import tempfile
+
+import pytest
+
+from mopoe_mimic_tpu.config import MopoeConfig
+from mopoe_mimic_tpu.evaluation.runner import run_eval_suite
+from mopoe_mimic_tpu.experiment import Experiment
+
+
+@pytest.mark.slow
+def test_run_eval_suite_all_modes(tmp_path):
+    cfg = MopoeConfig(
+        method="joint_elbo", dataset="testing", batch_size=8, class_dim=4,
+        DIM_img=2, DIM_text=2, img_size=64, text_encoding="word",
+        vocab_size=50, compute_dtype="float32", seed=1,
+        steps_per_training_epoch=2,
+        eval_lr=True, use_clf=True, calc_nll=True, calc_prd=True,
+        eval_freq_fid=1, num_imp_samples=2,
+        dir_experiment=str(tmp_path / "runs"), dir_clf=str(tmp_path / "clf"),
+    )
+    exp = Experiment(cfg)
+    state = exp.init_state()
+    res = run_eval_suite(exp, state, epoch=0, max_batches=1)
+    assert any(k.startswith("lr_eval") for k in res)
+    assert any(k.startswith("gen_eval") for k in res)
+    assert any(k.startswith("likelihoods") for k in res)
+    assert any(k.startswith("prd") for k in res)
