@@ -45,19 +45,46 @@ class ReduceLROnPlateau:
 
 
 class Callbacks:
-    def __init__(self, cfg: MopoeConfig, checkpoint_manager=None, experiment_df=None):
+    def __init__(self, cfg: MopoeConfig, checkpoint_manager=None, experiment_df=None,
+                 plots_dir: str = ""):
         self.cfg = cfg
         self.ckpt = checkpoint_manager
         self.df = experiment_df
+        self.plots_dir = plots_dir
         self.scheduler = ReduceLROnPlateau() if cfg.reduce_lr_on_plateau else None
         self.best_loss = math.inf
         self.early_stopping_index = 0
+        self.loss_history: list[tuple[int, float]] = []
+
+    def _plot_metric_evolution(self) -> None:
+        """Loss-vs-epoch curve written to plots/ (metric-evolution plots,
+        experiment.py:346-361)."""
+        if not self.plots_dir or len(self.loss_history) < 2:
+            return
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            xs, ys = zip(*self.loss_history)
+            fig, ax = plt.subplots(figsize=(5, 3))
+            ax.plot(xs, ys)
+            ax.set_xlabel("epoch")
+            ax.set_ylabel("test loss")
+            fig.tight_layout()
+            fig.savefig(f"{self.plots_dir}/test_loss_evolution.png")
+            plt.close(fig)
+        except Exception:
+            pass
 
     def update_epoch(
         self, epoch: int, test_loss: float, state: TrainState, elapsed: float = 0.0
     ) -> tuple[bool, TrainState]:
         """Returns (stop_training, possibly-updated state)."""
         cfg = self.cfg
+        self.loss_history.append((epoch, test_loss))
+        self._plot_metric_evolution()
         if self.scheduler is not None:
             state = self.scheduler.step(state, test_loss)
 

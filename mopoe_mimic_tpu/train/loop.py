@@ -52,7 +52,10 @@ def run_epochs(
 
     train_step = make_train_step(cfg, exp.model, exp.tx)
     eval_step = make_eval_step(cfg, exp.model)
-    callbacks = Callbacks(cfg, exp.checkpoints, exp.experiments_df)
+    callbacks = Callbacks(
+        cfg, exp.checkpoints, exp.experiments_df,
+        plots_dir=exp.paths.get("plots", ""),
+    )
     eval_rng = jax.random.PRNGKey((cfg.seed or 0) + 17)
 
     steps_cap = cfg.steps_per_training_epoch if cfg.steps_per_training_epoch > 0 else None
