@@ -24,9 +24,17 @@ TESTING_VOCAB_SIZE = 3517  # MimicDataset.py:408
 
 
 class SyntheticMimic:
-    """Deterministic (seeded) random dataset with the Mimic batch schema."""
+    """Deterministic (seeded) random dataset with the Mimic batch schema.
 
-    def __init__(self, cfg: MopoeConfig, seed: int = 0, length: int = 0):
+    structured=True generates *learnable* data: every sample carries a
+    latent class c shared by all three modalities (images show a bright
+    band whose position encodes c; the text repeats token c+1; the label
+    one-hots c). Useful for end-to-end learning demos — a correct model
+    must pick up the cross-modal structure, which pure noise can't test.
+    """
+
+    def __init__(self, cfg: MopoeConfig, seed: int = 0, length: int = 0,
+                 structured: bool = False, n_classes: int = 3):
         self.cfg = cfg
         self.length = length or 2 * cfg.batch_size
         self.seed = seed
@@ -34,22 +42,51 @@ class SyntheticMimic:
         n = self.length
         img = (cfg.img_size, cfg.img_size, cfg.image_channels)
         self._data: Dict[str, np.ndarray] = {}
+        classes = rng.integers(0, n_classes, size=n) if structured else None
+        self.classes = classes
+
+        def _images(view_offset: int) -> np.ndarray:
+            base = 0.1 * rng.random((n, *img), dtype=np.float32)
+            if structured:
+                h = cfg.img_size
+                band = h // (n_classes + 1)
+                for i, c in enumerate(classes):
+                    top = ((int(c) + view_offset) % n_classes) * band + band // 2
+                    base[i, top : top + band] += 0.8
+            return np.clip(base, 0.0, 1.0)
+
         if not cfg.only_text_modality:
-            self._data["PA"] = rng.random((n, *img), dtype=np.float32)
-            self._data["Lateral"] = rng.random((n, *img), dtype=np.float32)
+            self._data["PA"] = _images(0)
+            self._data["Lateral"] = _images(1)
         if cfg.text_encoding == "word":
             # ids bounded by the configured vocab (out-of-vocab ids would
             # hit flax Embed's NaN fill); default vocab matches the
             # reference fixture's 3517
-            self._data["text"] = rng.integers(
-                0, cfg.vocab_size, size=(n, cfg.len_sequence), dtype=np.int64
-            ).astype(np.int32)
+            if structured:
+                self._data["text"] = np.repeat(
+                    (classes[:, None] + 1).astype(np.int32), cfg.len_sequence, axis=1
+                )
+            else:
+                self._data["text"] = rng.integers(
+                    0, cfg.vocab_size, size=(n, cfg.len_sequence), dtype=np.int64
+                ).astype(np.int32)
         else:
-            self._data["text"] = rng.random(
-                (n, cfg.len_sequence, cfg.num_features), dtype=np.float32
-            )
+            if structured:
+                onehot = np.zeros((n, cfg.len_sequence, cfg.num_features), np.float32)
+                for i, c in enumerate(classes):
+                    onehot[i, :, int(c) + 1] = 1.0
+                self._data["text"] = onehot
+            else:
+                self._data["text"] = rng.random(
+                    (n, cfg.len_sequence, cfg.num_features), dtype=np.float32
+                )
         n_labels = 1 if cfg.binary_labels else 3
-        self.labels = rng.integers(0, 2, size=(n, n_labels)).astype(np.float32)
+        if structured:
+            lbl = np.zeros((n, n_labels), np.float32)
+            lbl[np.arange(n), classes % n_labels] = 1.0
+            self.labels = lbl
+        else:
+            self.labels = rng.integers(0, 2, size=(n, n_labels)).astype(np.float32)
 
     def __len__(self) -> int:
         return self.length
