@@ -128,6 +128,15 @@ class MopoeConfig:
     num_samples_fid: int = 10000
     num_training_samples_lr: int = 500
     num_imp_samples: int = 6  # IWAE importance samples (likelihood.py:120)
+    # heavy-eval coverage: 0 → the FULL test set, like the reference's
+    # test() pass (mimic/run_epochs.py:148-228); >0 caps each heavy eval at
+    # that many test batches (and says so in the log — no silent caps).
+    eval_max_batches: int = 0
+    # coherence-classifier training depth: 0 → train to mean-AP/dice
+    # early-stop convergence like the reference
+    # (mimic/networks/classifiers/utils.py:130-203); >0 → that many quick
+    # epochs (smoke-test mode).
+    clf_quick_epochs: int = 0
 
     # ----- classifiers ------------------------------------------------------
     text_clf_type: str = "word"

@@ -13,8 +13,18 @@ Replaces torch DataLoader + DistributedSampler (mimic/dataio/utils.py:115-147):
     flags.batch_size (kl_div.py:14-15); with full batches both contracts
     coincide.
 
-Multi-host: each process constructs the loader over its own data shard and
-feeds `jax.make_array_from_process_local_data`; see parallel/mesh.py.
+Multi-host data sharding (DistributedSampler parity, dataio/utils.py:120-122
+with per-epoch reshuffle at :144-147): every process draws the SAME global
+per-epoch order (same seed → identical permutation), then keeps the strided
+slice ``order[shard_index::num_shards]`` truncated to equal shard sizes, a
+disjoint cover of the (truncated) epoch. ``batch_size`` stays the GLOBAL
+batch — each host yields ``batch_size // num_shards`` rows, matching the
+reference's batch division across ranks (main_mimic.py:48), and
+``parallel/mesh.shard_batch`` assembles the global array via
+``jax.make_array_from_process_local_data``. Deviation from
+DistributedSampler's default: remainder rows are dropped (equal shards),
+not padded by repetition — with drop_last batching both contracts see the
+same number of optimizer steps.
 """
 
 from __future__ import annotations
@@ -22,6 +32,16 @@ from __future__ import annotations
 from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np
+
+
+def _default_shards() -> Tuple[int, int]:
+    """(num_shards, shard_index) from the jax runtime; (1, 0) without it."""
+    try:
+        import jax
+
+        return jax.process_count(), jax.process_index()
+    except Exception:
+        return 1, 0
 
 
 class BatchLoader:
@@ -33,9 +53,23 @@ class BatchLoader:
         seed: int = 0,
         weighted: bool = False,
         drop_last: bool = True,
+        num_shards: Optional[int] = None,
+        shard_index: Optional[int] = None,
     ):
+        if num_shards is None or shard_index is None:
+            num_shards, shard_index = _default_shards()
+        if not (0 <= shard_index < num_shards):
+            raise ValueError(f"shard_index {shard_index} not in [0, {num_shards})")
+        if batch_size % num_shards != 0:
+            raise ValueError(
+                f"global batch_size {batch_size} must divide evenly across "
+                f"{num_shards} host shards"
+            )
         self.dataset = dataset
         self.batch_size = batch_size
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self.local_batch_size = batch_size // num_shards
         self.shuffle = shuffle
         self.seed = seed
         self.weighted = weighted
@@ -59,11 +93,8 @@ class BatchLoader:
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
-    def __len__(self) -> int:
-        n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
-
-    def __iter__(self) -> Iterator[Tuple[Dict[str, np.ndarray], np.ndarray]]:
+    def _epoch_order(self) -> np.ndarray:
+        """This host's slice of the shared global per-epoch order."""
         n = len(self.dataset)
         rng = np.random.default_rng((self.seed, self.epoch))
         if self._weights is not None:
@@ -72,10 +103,23 @@ class BatchLoader:
             order = rng.permutation(n)
         else:
             order = np.arange(n)
+        if self.num_shards > 1:
+            usable = n - (n % self.num_shards)
+            order = order[self.shard_index : usable : self.num_shards]
+        return order
+
+    def __len__(self) -> int:
+        n = len(self._epoch_order())
+        bs = self.local_batch_size
+        return n // bs if self.drop_last else -(-n // bs)
+
+    def __iter__(self) -> Iterator[Tuple[Dict[str, np.ndarray], np.ndarray]]:
+        order = self._epoch_order()
         cols = self.dataset.arrays
         labels = np.asarray(self.dataset.labels)
+        bs = self.local_batch_size
         nb = len(self)
         for b in range(nb):
-            idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+            idx = order[b * bs : (b + 1) * bs]
             batch = {k: v[idx] for k, v in cols.items()}
             yield batch, labels[idx]

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 from pathlib import Path
-from typing import Callable, Dict
+from typing import Callable, Dict, Optional
 
 import jax
 import numpy as np
@@ -31,9 +31,16 @@ def _clf_dir(cfg: MopoeConfig, modality: str) -> Path:
 
 
 def load_or_train_classifiers(
-    exp, quick_epochs: int = 2
+    exp, quick_epochs: Optional[int] = None
 ) -> CoherenceEvaluator:
+    """Load cached classifiers or train them. quick_epochs=None defers to
+    cfg.clf_quick_epochs; 0 (the default) trains to mean-AP/dice early-stop
+    convergence like the reference (classifiers/utils.py:130-203), so
+    coherence-AP rests on converged classifiers, not 2-epoch noise."""
     cfg = exp.cfg
+    if quick_epochs is None:
+        quick_epochs = cfg.clf_quick_epochs
+    max_epochs = quick_epochs if quick_epochs > 0 else 100
     n_labels = len(exp.labels)
     predict_fns: Dict[str, Callable] = {}
     for m in cfg.modality_names:
@@ -59,10 +66,14 @@ def load_or_train_classifiers(
                 log.warning(f"failed to load classifier for {m}: {e}; retraining")
                 state = None
         if state is None:
-            log.info(f"training classifier for modality {m} ({quick_epochs} epochs)")
+            mode = (
+                f"{quick_epochs} quick epochs" if quick_epochs > 0
+                else f"to early-stop convergence (max {max_epochs} epochs)"
+            )
+            log.info(f"training classifier for modality {m} {mode}")
             state, results = train_classifier(
                 cfg, m, exp.dataset_train, exp.dataset_test, n_labels,
-                max_epochs=quick_epochs,
+                max_epochs=max_epochs,
             )
             try:
                 d.parent.mkdir(parents=True, exist_ok=True)

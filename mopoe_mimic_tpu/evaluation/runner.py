@@ -12,8 +12,22 @@ from mopoe_mimic_tpu.utils.logger import log
 from mopoe_mimic_tpu.utils.meters import flatten_metrics
 
 
-def run_eval_suite(exp, state, epoch: int, mesh=None, max_batches: int = 4) -> Dict[str, Any]:
+def run_eval_suite(
+    exp, state, epoch: int, mesh=None, max_batches: Optional[int] = None
+) -> Dict[str, Any]:
+    """Run every enabled heavy eval. ``max_batches`` caps each eval's test
+    coverage; None defers to ``cfg.eval_max_batches`` whose default (0)
+    means the FULL test set, matching the reference's test() pass
+    (mimic/run_epochs.py:148-228). Any cap is logged — no silent caps."""
     cfg = exp.cfg
+    if max_batches is None:
+        max_batches = cfg.eval_max_batches
+    if max_batches:
+        log.info(
+            f"heavy evals CAPPED at {max_batches} test batches "
+            f"(~{max_batches * cfg.batch_size} samples) — metrics are not "
+            f"comparable to full-test-set reference numbers"
+        )
     results: Dict[str, Any] = {}
 
     if cfg.eval_lr:
@@ -56,7 +70,10 @@ def run_eval_suite(exp, state, epoch: int, mesh=None, max_batches: int = 4) -> D
             prd = calc_prd_score(exp, state, embed, max_batches=max_batches)
             results["prd"] = prd
             exp.tb_logger.write_epoch("prd", epoch, prd)
-        except Exception as e:
+        except (ImportError, FileNotFoundError) as e:
+            # missing optional dependency / embedder weights — a legitimate
+            # skip, everything else propagates (a broken eval path must not
+            # look like a clean run)
             log.warning(f"PRD/FID skipped: {e}")
 
     try:
@@ -66,6 +83,6 @@ def run_eval_suite(exp, state, epoch: int, mesh=None, max_batches: int = 4) -> D
         for tag, img in plots.items():
             exp.tb_logger.write_image(tag, img, epoch)
     except Exception as e:
-        log.debug(f"plot generation skipped: {e}")
+        log.warning(f"plot generation FAILED: {e!r}", exc_info=True)
 
     return flatten_metrics(results, sep="_") if results else {}

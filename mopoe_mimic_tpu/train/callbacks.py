@@ -105,7 +105,10 @@ class Callbacks:
             or (epoch + 1) % cfg.checkpoint_freq == 0
             or epoch == cfg.end_epoch - 1
         ):
-            self.ckpt.save(epoch, state)
+            try:
+                self.ckpt.save(epoch, state, metrics={"test_loss": test_loss})
+            except TypeError:  # manager without metric support
+                self.ckpt.save(epoch, state)
 
         stop = self.early_stopping_index > cfg.max_early_stopping_index
         if stop:

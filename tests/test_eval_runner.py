@@ -19,7 +19,7 @@ def test_run_eval_suite_all_modes(tmp_path):
         vocab_size=50, compute_dtype="float32", seed=1,
         steps_per_training_epoch=2,
         eval_lr=True, use_clf=True, calc_nll=True, calc_prd=True,
-        eval_freq_fid=1, num_imp_samples=2,
+        eval_freq_fid=1, num_imp_samples=2, clf_quick_epochs=2,
         dir_experiment=str(tmp_path / "runs"), dir_clf=str(tmp_path / "clf"),
     )
     exp = Experiment(cfg)
