@@ -92,7 +92,9 @@ class FeatureExtractorTextWord(nn.Module):
             self.vocab_size, d, dtype=self.dtype, param_dtype=self.param_dtype,
             name="embedding",
         )(ids)
-        # padding_idx=0 semantics (mmvae_text_enc.py:27-29)
+        # padding_idx=0 semantics (mmvae_text_enc.py:27-29). Reference
+        # quirk mirrored on purpose: index 0 is <exc> (unknown), not <pad>
+        # (MimicDataset.py:359) — torch zeroes+freezes the <exc> row.
         emb = emb * (ids != 0)[..., None].astype(emb.dtype)
         h = _conv(d, 4, 2, 1, True, self.dtype, self.param_dtype, "conv1", 1)(emb)
         widths = [2 * d, 3 * d, 4 * d, 4 * d, 4 * d, 5 * d]

@@ -75,8 +75,10 @@ def test_tensor_to_text_roundtrip():
 
 def test_vocab_build_encode_decode(tmp_path):
     findings = ["the cat sat on the mat", "the dog sat", "cat and dog sat here"]
-    v = Vocab.build(findings, min_occ=2)
-    assert v.pad_idx == 0  # padding_idx 0 contract (mmvae_text_enc.py:27-29)
+    v = Vocab.build(findings, min_occ=1)  # keep words with count > 1
+    # reference specials order (MimicDataset.py:359): <exc>=0, <pad>=1, <eos>=2
+    assert v.unk_idx == 0 and v.pad_idx == 1 and v.eos_idx == 2
+    assert "on" not in v.w2i  # count 1 is NOT > min_occ (strict, :374)
     ids = v.encode("the cat sat", max_len=6)
     assert ids.shape == (6,)
     toks = v.decode(ids)
@@ -86,7 +88,8 @@ def test_vocab_build_encode_decode(tmp_path):
     # rare word → <exc>
     ids2 = v.encode("the zebra", max_len=4)
     assert v.decode(ids2)[1] == "<exc>"
-    # persistence
-    v.save(str(tmp_path), 2, 6)
-    v2 = Vocab.load(str(tmp_path), 2, 6)
+    # persistence incl. tokenizer provenance
+    v.save(str(tmp_path), 1, 6)
+    v2 = Vocab.load(str(tmp_path), 1, 6)
     assert v2.w2i == v.w2i
+    assert v2.tokenizer == v.tokenizer

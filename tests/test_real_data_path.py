@@ -61,7 +61,7 @@ def test_builder_dataset_train_roundtrip(tmp_path):
     # word-encoded dataset: vocab gets built from train findings + persisted
     cfg = MopoeConfig(
         dataset="Mimic", dir_data=str(tmp_path / "out"), img_size=64,
-        text_encoding="word", word_min_occ=1, batch_size=2,
+        text_encoding="word", word_min_occ=0, batch_size=2,
         class_dim=4, DIM_img=2, DIM_text=2, compute_dtype="float32",
     )
     ds = MimicDataset(cfg, split="train")
