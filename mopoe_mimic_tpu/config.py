@@ -109,7 +109,12 @@ class MopoeConfig:
     rec_weight_m3: float = 0.33
 
     # ----- dataset ----------------------------------------------------------
-    dataset: str = "Mimic"  # 'Mimic' | 'testing'
+    # 'Mimic' | 'testing' (shape-parity noise fixture, Mimic_testing parity)
+    # | 'testing_structured' (learnable synthetic: shared latent class
+    #   across modalities — noise can't exercise the eval metrics)
+    dataset: str = "Mimic"
+    synthetic_length: int = 0  # testing* train-split size; 0 → 2·batch_size
+    synthetic_classes: int = 3  # latent classes in testing_structured
     only_text_modality: bool = False
     undersample_dataset: bool = False
     weighted_sampler: bool = False
@@ -140,8 +145,11 @@ class MopoeConfig:
 
     # ----- classifiers ------------------------------------------------------
     text_clf_type: str = "word"
-    img_clf_type: str = "resnet"
+    img_clf_type: str = "resnet"  # resnet | densenet
     clf_loss: str = "binary_crossentropy"
+    # Five/TenCrop(224) for the densenet classifier path (reference
+    # flags.n_crops; crop-mean at main_train_clf_mimic.py:67-72): 1 | 5 | 10
+    n_crops: int = 1
 
     # ----- callbacks --------------------------------------------------------
     reduce_lr_on_plateau: bool = False

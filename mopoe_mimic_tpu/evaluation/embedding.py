@@ -1,9 +1,12 @@
 """Image embedding for FID/PRD.
 
 The reference embeds with a ported InceptionV3 (mimic/evaluation/fid/).
-Those weights are absent and undownloadable here, so the default embedder
-is the trained ClfImg trunk's penultimate features (chest-X-ray-specific);
-any fn(images) → features can be swapped in.
+The architecture + weight loader live in models/inception.py and are
+PREFERRED whenever ``cfg.inception_state_dict`` points at the
+pt_inception .pth file (drop-in real-weight FID). In this zero-egress
+environment the weights are absent, so the fallback embedder is the
+trained ClfImg trunk (chest-X-ray-specific features); any
+fn(images) → features can be swapped in.
 """
 
 from __future__ import annotations
@@ -14,10 +17,24 @@ import jax
 import numpy as np
 
 from mopoe_mimic_tpu.train.clf_trainer import make_classifier, train_classifier
+from mopoe_mimic_tpu.utils.logger import log
 
 
 def make_default_embedder(exp, quick_epochs: int = 1) -> Callable[[np.ndarray], np.ndarray]:
     cfg = exp.cfg
+    # preferred: real FID InceptionV3 when its weights are available
+    # (inception.py:13 parity)
+    try:
+        from mopoe_mimic_tpu.models.inception import load_inception_embedder
+
+        embed = load_inception_embedder(cfg.inception_state_dict, cfg.batch_size)
+        log.info(f"FID embedder: InceptionV3 ({cfg.inception_state_dict})")
+        return embed
+    except FileNotFoundError:
+        log.info(
+            "FID embedder: inception weights absent "
+            f"({cfg.inception_state_dict}); falling back to the ClfImg trunk"
+        )
     n_labels = len(exp.labels)
     img_mod = next(m for m in cfg.modality_names if m != "text")
     model = make_classifier(cfg, img_mod, n_labels)

@@ -125,7 +125,7 @@ def average_prd(eval_data: np.ndarray, ref_data: np.ndarray) -> float:
 
 def calc_prd_score(
     exp, state, embed_fn: Callable[[np.ndarray], np.ndarray],
-    max_batches: int = 4,
+    max_batches: int = 0,
 ) -> Dict[str, float]:
     """Per-subset PRD of conditionally generated images vs real ones, plus
     random generation. embed_fn maps [N,H,W,C] images to [N,D] features."""
@@ -155,7 +155,7 @@ def calc_prd_score(
     real = {m: [] for m in img_mods}
     gen_sets: Dict[str, Dict[str, list]] = {}
     for i, (batch, _labels) in enumerate(test_loader):
-        if i >= max_batches:
+        if max_batches and i >= max_batches:  # 0 → full test set
             break
         rng, r1, r2 = jax.random.split(rng, 3)
         cond = jax.device_get(cond_gen(state.params, state.batch_stats, batch, r1))

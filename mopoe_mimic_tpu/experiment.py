@@ -64,9 +64,19 @@ class Experiment:
 
     def set_datasets(self) -> None:
         cfg = self.cfg
-        if cfg.dataset.lower() == "testing":
-            self.dataset_train = SyntheticMimic(cfg, seed=0)
-            self.dataset_test = SyntheticMimic(cfg, seed=1)
+        if cfg.dataset.lower() == "testing_structured":
+            n = cfg.synthetic_length or 2 * cfg.batch_size
+            self.dataset_train = SyntheticMimic(
+                cfg, seed=0, length=n, structured=True,
+                n_classes=cfg.synthetic_classes,
+            )
+            self.dataset_test = SyntheticMimic(
+                cfg, seed=1, length=max(n // 4, cfg.batch_size),
+                structured=True, n_classes=cfg.synthetic_classes,
+            )
+        elif cfg.dataset.lower() == "testing":
+            self.dataset_train = SyntheticMimic(cfg, seed=0, length=cfg.synthetic_length)
+            self.dataset_test = SyntheticMimic(cfg, seed=1, length=cfg.synthetic_length)
         else:
             from mopoe_mimic_tpu.data.mimic_dataset import MimicDataset
 

@@ -44,9 +44,36 @@ def make_classifier(cfg: MopoeConfig, modality: str, n_labels: int):
             vocab_size=cfg.vocab_size,
             len_sequence=cfg.len_sequence,
         )
+    if cfg.img_clf_type == "densenet":
+        # CheXNet with crop-mean predictions (get_models at
+        # classifiers/utils.py:214-238; crop handling CheXNet.py:85-106)
+        from mopoe_mimic_tpu.models.densenet import CheXNet
+
+        return CheXNet(n_labels=n_labels, n_crops=cfg.n_crops)
     return ClfImg(
         n_labels=n_labels, img_size=cfg.img_size, image_channels=cfg.image_channels
     )
+
+
+def make_clf_input_fn(cfg: MopoeConfig, modality: str):
+    """Host-side input adapter. DenseNet image path applies the reference's
+    transform chain — RGB + ImageNet normalize + Five/TenCrop(224)
+    (get_transform_img, dataio/utils.py:42-69) — and flattens crops onto
+    the batch axis ([B, n_crops, H, W, C] → [B·n_crops, H, W, C], the
+    layout CheXNet crop-means back, main_train_clf_mimic.py:67-72)."""
+    if modality == "text" or cfg.img_clf_type != "densenet":
+        return lambda x: x
+    from mopoe_mimic_tpu.data.transforms import get_transform_img
+
+    tf = get_transform_img(cfg.img_size, "densenet", cfg.n_crops)
+
+    def prep(x: np.ndarray) -> np.ndarray:
+        out = np.stack([tf(np.asarray(img)) for img in x])
+        if cfg.n_crops > 1:
+            out = out.reshape((-1,) + out.shape[2:])
+        return out
+
+    return prep
 
 
 def clf_loss_fn(kind: str):
@@ -76,10 +103,12 @@ def train_classifier(
     max_epochs: int = 100,
     rng: Optional[jax.Array] = None,
     early_stop_patience: Optional[int] = None,
+    write_df: bool = True,
 ) -> Tuple[ClfState, Dict[str, float]]:
     """Returns (best state, best eval metrics)."""
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed or 0)
     model = make_classifier(cfg, modality, n_labels)
+    prep = make_clf_input_fn(cfg, modality)
     loss_fn = clf_loss_fn(cfg.clf_loss)
     tx = optax.adam(cfg.initial_learning_rate, b1=cfg.beta_1, b2=cfg.beta_2)
 
@@ -88,7 +117,7 @@ def train_classifier(
     x0, _ = next(iter(loader))
     rng, init_rng, drop_rng = jax.random.split(rng, 3)
     variables = jax.jit(lambda r, x: model.init(r, x, train=True))(
-        {"params": init_rng, "dropout": drop_rng}, x0[modality]
+        {"params": init_rng, "dropout": drop_rng}, prep(x0[modality])
     )
     state = ClfState(
         params=variables["params"],
@@ -134,11 +163,11 @@ def train_classifier(
         for i, (batch, y) in enumerate(loader):
             if steps_cap and i >= steps_cap:
                 break
-            state, loss = train_step(state, batch[modality], y)
+            state, loss = train_step(state, prep(batch[modality]), y)
         # eval: mean AP (early-stop target, classifiers/utils.py:130-203)
         preds, gts = [], []
         for batch, y in eval_loader:
-            preds.append(np.asarray(predict(state, batch[modality])))
+            preds.append(np.asarray(predict(state, prep(batch[modality]))))
             gts.append(y)
         m = Metrics(np.concatenate(preds), np.concatenate(gts), labels)
         results = {k: v[0] for k, v in m.evaluate().items()}
@@ -152,4 +181,31 @@ def train_classifier(
             bad += 1
             if bad > patience:
                 break
+    if write_df:
+        _write_clf_df(cfg, modality, epoch, best_results)
     return best_state, best_results
+
+
+def _write_clf_df(cfg: MopoeConfig, modality: str, total_epochs: int,
+                  best_results: Dict[str, float]) -> None:
+    """Classifier results CSV twin (clf_experiments_dataframe.csv,
+    mimic/networks/classifiers/utils.py:47-89): one row per classifier
+    training run — full config + best eval metrics + epochs trained."""
+    try:
+        import os
+        import time
+
+        from mopoe_mimic_tpu.utils.experiment_df import ExperimentDataframe
+
+        os.makedirs(cfg.dir_clf, exist_ok=True)
+        run = f"clf_{modality}_{time.strftime('%Y_%m_%d_%H_%M_%S')}"
+        df = ExperimentDataframe(
+            f"{cfg.dir_clf}/clf_experiments_dataframe.csv", cfg, run
+        )
+        df.update({
+            "modality": modality,
+            "total_epochs": total_epochs,
+            **{f"best_{k}": v for k, v in best_results.items()},
+        })
+    except Exception as e:
+        log.warning(f"clf results CSV not written: {e}")

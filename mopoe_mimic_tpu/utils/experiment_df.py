@@ -41,7 +41,10 @@ class ExperimentDataframe:
         mask = df["str_experiment"] == self.run_name
         for k, v in flat.items():
             if k not in df.columns:
-                df[k] = float("nan")
+                df[k] = pd.Series([None] * len(df), dtype="object") \
+                    if isinstance(v, str) else float("nan")
+            elif isinstance(v, str) and df[k].dtype != object:
+                df[k] = df[k].astype(object)
             df.loc[mask, k] = v
         self._write(df)
 

@@ -61,6 +61,8 @@ def flatten_metrics(d: Any, prefix: str = "", sep: str = "/") -> Dict[str, float
                 rec(v, f"{name}{sep}{i}")
         elif node is None:
             return
+        elif isinstance(node, str):
+            out[name] = node  # pass labels/modality names through to CSV
         else:
             arr = np.asarray(node)
             if arr.ndim == 0:

@@ -54,14 +54,24 @@ def text_to_pil(tokens, size=(128, 128), font_path: Optional[str] = None) -> np.
         return np.ones((*size, 3), dtype=np.float32)
 
 
-def _modality_frames(cfg, exp, m: str, data: np.ndarray, n: int) -> np.ndarray:
-    """Per-modality sample frames: images pass through, text renders to PIL."""
+def _modality_frames(
+    cfg, exp, m: str, data: np.ndarray, n: int, size=None
+) -> np.ndarray:
+    """Per-modality sample frames: images pass through, text renders to PIL
+    (at ``size`` when given, so text rows fit image-modality grids)."""
     if m != "text":
         return np.asarray(data[:n])
     from mopoe_mimic_tpu.data.text_codec import tensor_to_tokens
 
     toks = tensor_to_tokens(cfg, exp, np.asarray(data[:n]), probs=True)
-    return np.stack([text_to_pil(t) for t in toks])
+    return np.stack([text_to_pil(t, size=size or (128, 128)) for t in toks])
+
+
+def _to_rgb(frames: np.ndarray) -> np.ndarray:
+    """[N, H, W, C] → [N, H, W, 3] (grayscale repeated)."""
+    if frames.shape[-1] == 3:
+        return frames
+    return np.repeat(frames[..., :1], 3, axis=-1)
 
 
 def generate_plots(exp, state, epoch: int, num_samples: int = 0) -> Dict[str, np.ndarray]:
@@ -109,17 +119,18 @@ def generate_plots(exp, state, epoch: int, num_samples: int = 0) -> Dict[str, np
             cond_gen(state.params, state.batch_stats, test_batch, r2)
         )
         for s_key, per_mod in cond.items():
-            rows = []
-            for m in cfg.modality_names:
-                rows.append(_modality_frames(cfg, exp, m, per_mod[m], 4))
-            # harmonize frame shapes (text frames are RGB plot-size)
-            try:
-                frames = np.concatenate(rows) if all(
-                    r.shape[1:] == rows[0].shape[1:] for r in rows
-                ) else rows[0]
-                plots[f"cond_gen/{s_key}"] = _to_grid(frames, per_row=4)
-            except ValueError:
-                pass
+            # one row per generated modality, text rendered at image size
+            # and grayscale lifted to RGB so all rows share one frame shape
+            # (reference renders text via PIL into the same grid,
+            # mimic/utils/plot.py:30-67)
+            rows = [
+                _to_rgb(_modality_frames(
+                    cfg, exp, m, per_mod[m], 4,
+                    size=(cfg.img_size, cfg.img_size),
+                ))
+                for m in cfg.modality_names
+            ]
+            plots[f"cond_gen/{s_key}"] = _to_grid(np.concatenate(rows), per_row=4)
     except Exception as e:
         log.debug(f"cond-gen plots skipped: {e}")
 

@@ -1,0 +1,60 @@
+"""Classifier workload: densenet crop input path, crop-mean predictions,
+results-CSV twin (reference: main_train_clf_mimic.py:49-199,
+classifiers/utils.py:47-89)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mopoe_mimic_tpu.config import MopoeConfig
+from mopoe_mimic_tpu.data.synthetic import SyntheticMimic
+from mopoe_mimic_tpu.train.clf_trainer import (
+    make_classifier, make_clf_input_fn, train_classifier,
+)
+
+
+def test_clf_input_fn_densenet_crops():
+    cfg = MopoeConfig(
+        dataset="testing", img_size=64, img_clf_type="densenet", n_crops=5,
+        batch_size=2,
+    )
+    prep = make_clf_input_fn(cfg, "PA")
+    x = np.random.default_rng(0).random((2, 64, 64, 1)).astype(np.float32)
+    out = prep(x)
+    # RGB + ImageNet-normalize + FiveCrop(224), crops flattened onto batch
+    assert out.shape == (10, 224, 224, 3)
+    assert out.min() < 0  # normalized (not raw [0, 1])
+    # ten-crop doubles via horizontal flips
+    cfg10 = cfg.replace(n_crops=10)
+    assert make_clf_input_fn(cfg10, "PA")(x).shape == (20, 224, 224, 3)
+    # text / resnet paths are identity
+    assert make_clf_input_fn(cfg, "text")(x) is x
+    assert make_clf_input_fn(cfg.replace(img_clf_type="resnet"), "PA")(x) is x
+
+
+def test_densenet_classifier_selected():
+    cfg = MopoeConfig(dataset="testing", img_clf_type="densenet", n_crops=5)
+    from mopoe_mimic_tpu.models.densenet import CheXNet
+
+    m = make_classifier(cfg, "PA", 3)
+    assert isinstance(m, CheXNet) and m.n_crops == 5
+
+
+@pytest.mark.slow
+def test_train_classifier_writes_csv_twin(tmp_path):
+    cfg = MopoeConfig(
+        dataset="testing", img_size=64, batch_size=8, DIM_img=2, DIM_text=2,
+        compute_dtype="float32", seed=0, steps_per_training_epoch=1,
+        dir_clf=str(tmp_path / "clf"),
+    )
+    ds_train = SyntheticMimic(cfg, seed=0, length=16)
+    ds_eval = SyntheticMimic(cfg, seed=1, length=16)
+    state, results = train_classifier(
+        cfg, "PA", ds_train, ds_eval, n_labels=3, max_epochs=2,
+    )
+    assert results, "best eval metrics must be returned"
+    csv = tmp_path / "clf" / "clf_experiments_dataframe.csv"
+    assert csv.exists(), "clf results CSV twin missing"
+    row = pd.read_csv(csv).iloc[0]
+    assert row["modality"] == "PA"
+    assert any(c.startswith("best_") for c in row.index)

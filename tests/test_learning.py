@@ -57,3 +57,26 @@ def test_mopoe_learns_shared_latent():
     clf = LogisticRegression(max_iter=500).fit(x[:96], classes[:96])
     acc = clf.score(x[96:], classes[96:])
     assert acc >= 0.8, acc
+
+
+def test_structured_dataset_mode_via_experiment(tmp_path):
+    """dataset='testing_structured' wires the learnable synthetic through
+    the Experiment container (round-2 full-metrics run rides this path)."""
+    from mopoe_mimic_tpu.experiment import Experiment
+
+    cfg = MopoeConfig(
+        method="joint_elbo", dataset="testing_structured", img_size=64,
+        DIM_img=2, DIM_text=2, class_dim=4, text_encoding="word",
+        vocab_size=10, batch_size=8, synthetic_length=32,
+        compute_dtype="float32", seed=0,
+        dir_experiment=str(tmp_path / "runs"),
+    )
+    exp = Experiment(cfg)
+    assert exp.dataset_train.classes is not None
+    assert len(exp.dataset_train) == 32 and len(exp.dataset_test) == 8
+    batch, labels = next(iter(exp.make_loaders()[0]))
+    # labels one-hot the latent class; text repeats class+1
+    assert set(np.unique(labels)) <= {0.0, 1.0}
+    assert (labels.sum(axis=1) == 1).all()
+    cls = labels.argmax(axis=1)
+    assert (batch["text"][:, 0] >= 1).all()

@@ -73,3 +73,104 @@ def test_densenet_roundtrip_conversion():
 
     out = model.apply({"params": params, "batch_stats": stats}, x, train=False)
     assert out.shape == (1, 3)
+
+
+# ---------------------------------------------------------------------------
+# functional parity against a REAL torch DenseNet-121
+# ---------------------------------------------------------------------------
+
+def _torch_densenet121(n_labels: int):
+    """A genuine torch DenseNet-121 with torchvision's exact module/key
+    scheme (torchvision itself is not installed here; this follows the
+    DenseNet-BC paper config 6/12/24/16, growth 32 — the same state_dict
+    keys `features.denseblockB.denselayerL.*`, `features.transitionT.*`,
+    `features.{conv0,norm0,norm5}`, `classifier.*`)."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+    from collections import OrderedDict
+
+    growth = 32
+
+    class DenseLayer(nn.Module):
+        def __init__(self, in_ch):
+            super().__init__()
+            self.norm1 = nn.BatchNorm2d(in_ch)
+            self.conv1 = nn.Conv2d(in_ch, 4 * growth, 1, bias=False)
+            self.norm2 = nn.BatchNorm2d(4 * growth)
+            self.conv2 = nn.Conv2d(4 * growth, growth, 3, padding=1, bias=False)
+
+        def forward(self, x):
+            h = self.conv1(F.relu(self.norm1(x)))
+            h = self.conv2(F.relu(self.norm2(h)))
+            return torch.cat([x, h], 1)
+
+    class Transition(nn.Module):
+        def __init__(self, in_ch, out_ch):
+            super().__init__()
+            self.norm = nn.BatchNorm2d(in_ch)
+            self.conv = nn.Conv2d(in_ch, out_ch, 1, bias=False)
+
+        def forward(self, x):
+            return F.avg_pool2d(self.conv(F.relu(self.norm(x))), 2, 2)
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            feats = OrderedDict()
+            feats["conv0"] = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+            feats["norm0"] = nn.BatchNorm2d(64)
+            feats["relu0"] = nn.ReLU(inplace=True)
+            feats["pool0"] = nn.MaxPool2d(3, stride=2, padding=1)
+            ch = 64
+            for bi, n_layers in enumerate((6, 12, 24, 16)):
+                block = OrderedDict()
+                for li in range(n_layers):
+                    block[f"denselayer{li + 1}"] = DenseLayer(ch)
+                    ch += growth
+                feats[f"denseblock{bi + 1}"] = nn.Sequential(block)
+                if bi != 3:
+                    feats[f"transition{bi + 1}"] = Transition(ch, ch // 2)
+                    ch //= 2
+            feats["norm5"] = nn.BatchNorm2d(ch)
+            self.features = nn.Sequential(feats)
+            self.classifier = nn.Linear(ch, n_labels)
+
+        def forward(self, x):
+            h = F.relu(self.features(x))
+            h = F.adaptive_avg_pool2d(h, 1).flatten(1)
+            return torch.sigmoid(self.classifier(h))
+
+    return Net()
+
+
+@pytest.mark.slow
+def test_densenet_functional_parity_with_torch():
+    """Converted torch weights must reproduce the torch forward pass —
+    validates BN semantics, padding, pooling, and layout transposes, which
+    the roundtrip test cannot."""
+    import torch
+
+    torch.manual_seed(0)
+    net = _torch_densenet121(n_labels=3)
+    # randomize BN affine + running stats so a swapped mapping cannot pass
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.weight.uniform_(0.5, 1.5)
+                m.bias.normal_(0, 0.1)
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+    net.eval()
+
+    x = np.random.default_rng(1).random((2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
+
+    params, stats = convert_densenet_state_dict(net.state_dict())
+    model = CheXNet(n_labels=3)
+    out = np.asarray(
+        model.apply({"params": params, "batch_stats": stats},
+                    jnp.asarray(x), train=False)
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-4)
