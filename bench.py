@@ -10,7 +10,13 @@ stored in BASELINE_MEASURED.json (produced by benchmarks/measure_reference.py
 on this machine's CPU — the reference repo publishes no numbers, see
 BASELINE.md). If that file is absent, vs_baseline is null.
 
-Flags: --quick (tiny shapes, smoke), --steps N, --batch N.
+Measurement protocol (pinned so the number is reproducible by the driver):
+``--repeats`` timing windows of ``--steps`` steps each after a warmup that
+absorbs compile + first-execution jitter; the reported value is the MEDIAN
+window, and ``spread_pct`` = (max-min)/median across windows is included in
+the JSON so run-to-run variance is visible in the artifact itself.
+
+Flags: --quick (tiny shapes, smoke), --steps N, --repeats K, --batch N.
 """
 
 import argparse
@@ -25,8 +31,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="tiny shapes smoke run")
-    ap.add_argument("--steps", type=int, default=20)
-    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--steps", type=int, default=100, help="steps per timing window")
+    ap.add_argument("--repeats", type=int, default=5, help="timing windows (median reported)")
+    ap.add_argument("--warmup", type=int, default=10)
     ap.add_argument("--batch", type=int, default=0)
     ap.add_argument("--pallas", action="store_true", help="use the pallas fusion kernel")
     ap.add_argument("--fp32", action="store_true", help="float32 compute instead of bf16")
@@ -74,17 +81,22 @@ def main():
     state = replicate_state(mesh, state)
     step = make_train_step(cfg)
 
-    # warmup (compile)
+    # warmup (compile + first-execution jitter)
     for _ in range(args.warmup):
         state, metrics = step(state, batch)
     jax.block_until_ready(metrics["total_loss"])
 
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["total_loss"])
-    dt = time.perf_counter() - t0
+    windows = []
+    repeats = 1 if args.quick else max(args.repeats, 1)
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            state, metrics = step(state, batch)
+        jax.block_until_ready(metrics["total_loss"])
+        windows.append(time.perf_counter() - t0)
 
+    dt = float(np.median(windows))
+    spread_pct = 100.0 * (max(windows) - min(windows)) / dt if len(windows) > 1 else 0.0
     samples_per_sec = cfg.batch_size * args.steps / dt
     per_chip = samples_per_sec / n_chips
 
@@ -103,6 +115,9 @@ def main():
         "value": round(per_chip, 2),
         "unit": "samples/sec/chip",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "spread_pct": round(spread_pct, 1),
+        "protocol": f"median of {repeats}x{args.steps}-step windows, "
+                    f"{args.warmup} warmup",
     }))
 
 

@@ -134,7 +134,8 @@ def fmt_results(exp, final_eval, run_summary, elapsed_min: float) -> str:
 
     prd = final_eval.get("prd", {})
     if prd:
-        lines += ["## PRD sample quality (mean F-scores)", ""]
+        lines += ["## Sample quality: FID + mean-PRD-precision per "
+                  "(modality, conditioning subset)", ""]
         for k, v in sorted(prd.items()):
             try:
                 lines.append(f"- {k}: {float(v):.4f}")
