@@ -183,7 +183,12 @@ class MopoeConfig:
     # trace-time platform check falls back to the XLA masked-sum path
     # elsewhere). Bit-identical outputs, ~20% faster flagship train step.
     use_pallas_fusion: bool = True
-    sync_batchnorm: bool = False  # reference DDP uses per-replica BN stats
+    # NB on BatchNorm under data parallelism: the reference's DDP computes
+    # BN statistics per replica (no sync-BN). Under single-controller GSPMD
+    # jit the batch mean/var are computed over the GLOBAL sharded batch —
+    # i.e. this framework is synchronized-BN by construction (XLA inserts
+    # the collective). Identical at 1 device; statistically stronger at N.
+    # Documented as a deviation in PARITY.md.
 
     # =========================================================================
     # derived values

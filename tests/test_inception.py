@@ -108,3 +108,197 @@ def test_forward_runs_with_converted_weights():
     )
     assert out.shape == (2, 2048) and np.isfinite(out).all()
     assert abs(out[0] - out[1]).max() > 0  # inputs differ → features differ
+
+
+# ---------------------------------------------------------------------------
+# functional parity against a REAL torch FID-InceptionV3
+# ---------------------------------------------------------------------------
+
+def _torch_fid_inception():
+    """A genuine torch InceptionV3 (FID variant) with torchvision's exact
+    module/key scheme, written from the published architecture (torchvision
+    is not installed here). FID tweaks mirrored: count_include_pad=False
+    branch pools, max-pool pool-branch in Mixed_7c."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    class BasicConv2d(nn.Module):
+        def __init__(self, i, o, **kw):
+            super().__init__()
+            self.conv = nn.Conv2d(i, o, bias=False, **kw)
+            self.bn = nn.BatchNorm2d(o, eps=0.001)
+
+        def forward(self, x):
+            return F.relu(self.bn(self.conv(x)))
+
+    def apool(x):
+        return F.avg_pool2d(x, 3, stride=1, padding=1, count_include_pad=False)
+
+    class InceptionA(nn.Module):
+        def __init__(self, i, pool_features):
+            super().__init__()
+            self.branch1x1 = BasicConv2d(i, 64, kernel_size=1)
+            self.branch5x5_1 = BasicConv2d(i, 48, kernel_size=1)
+            self.branch5x5_2 = BasicConv2d(48, 64, kernel_size=5, padding=2)
+            self.branch3x3dbl_1 = BasicConv2d(i, 64, kernel_size=1)
+            self.branch3x3dbl_2 = BasicConv2d(64, 96, kernel_size=3, padding=1)
+            self.branch3x3dbl_3 = BasicConv2d(96, 96, kernel_size=3, padding=1)
+            self.branch_pool = BasicConv2d(i, pool_features, kernel_size=1)
+
+        def forward(self, x):
+            import torch
+            b = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+            return torch.cat([
+                self.branch1x1(x), self.branch5x5_2(self.branch5x5_1(x)),
+                b, self.branch_pool(apool(x)),
+            ], 1)
+
+    class InceptionB(nn.Module):
+        def __init__(self, i):
+            super().__init__()
+            self.branch3x3 = BasicConv2d(i, 384, kernel_size=3, stride=2)
+            self.branch3x3dbl_1 = BasicConv2d(i, 64, kernel_size=1)
+            self.branch3x3dbl_2 = BasicConv2d(64, 96, kernel_size=3, padding=1)
+            self.branch3x3dbl_3 = BasicConv2d(96, 96, kernel_size=3, stride=2)
+
+        def forward(self, x):
+            import torch
+            import torch.nn.functional as F
+            b = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+            return torch.cat([self.branch3x3(x), b, F.max_pool2d(x, 3, 2)], 1)
+
+    class InceptionC(nn.Module):
+        def __init__(self, i, c7):
+            super().__init__()
+            self.branch1x1 = BasicConv2d(i, 192, kernel_size=1)
+            self.branch7x7_1 = BasicConv2d(i, c7, kernel_size=1)
+            self.branch7x7_2 = BasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+            self.branch7x7_3 = BasicConv2d(c7, 192, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7dbl_1 = BasicConv2d(i, c7, kernel_size=1)
+            self.branch7x7dbl_2 = BasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7dbl_3 = BasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+            self.branch7x7dbl_4 = BasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7dbl_5 = BasicConv2d(c7, 192, kernel_size=(1, 7), padding=(0, 3))
+            self.branch_pool = BasicConv2d(i, 192, kernel_size=1)
+
+        def forward(self, x):
+            import torch
+            b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+            bd = self.branch7x7dbl_5(self.branch7x7dbl_4(self.branch7x7dbl_3(
+                self.branch7x7dbl_2(self.branch7x7dbl_1(x)))))
+            return torch.cat([
+                self.branch1x1(x), b7, bd, self.branch_pool(apool(x)),
+            ], 1)
+
+    class InceptionD(nn.Module):
+        def __init__(self, i):
+            super().__init__()
+            self.branch3x3_1 = BasicConv2d(i, 192, kernel_size=1)
+            self.branch3x3_2 = BasicConv2d(192, 320, kernel_size=3, stride=2)
+            self.branch7x7x3_1 = BasicConv2d(i, 192, kernel_size=1)
+            self.branch7x7x3_2 = BasicConv2d(192, 192, kernel_size=(1, 7), padding=(0, 3))
+            self.branch7x7x3_3 = BasicConv2d(192, 192, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7x3_4 = BasicConv2d(192, 192, kernel_size=3, stride=2)
+
+        def forward(self, x):
+            import torch
+            import torch.nn.functional as F
+            b7 = self.branch7x7x3_4(self.branch7x7x3_3(self.branch7x7x3_2(
+                self.branch7x7x3_1(x))))
+            return torch.cat([
+                self.branch3x3_2(self.branch3x3_1(x)), b7, F.max_pool2d(x, 3, 2),
+            ], 1)
+
+    class InceptionE(nn.Module):
+        def __init__(self, i, pool_kind):
+            super().__init__()
+            self.pool_kind = pool_kind
+            self.branch1x1 = BasicConv2d(i, 320, kernel_size=1)
+            self.branch3x3_1 = BasicConv2d(i, 384, kernel_size=1)
+            self.branch3x3_2a = BasicConv2d(384, 384, kernel_size=(1, 3), padding=(0, 1))
+            self.branch3x3_2b = BasicConv2d(384, 384, kernel_size=(3, 1), padding=(1, 0))
+            self.branch3x3dbl_1 = BasicConv2d(i, 448, kernel_size=1)
+            self.branch3x3dbl_2 = BasicConv2d(448, 384, kernel_size=3, padding=1)
+            self.branch3x3dbl_3a = BasicConv2d(384, 384, kernel_size=(1, 3), padding=(0, 1))
+            self.branch3x3dbl_3b = BasicConv2d(384, 384, kernel_size=(3, 1), padding=(1, 0))
+            self.branch_pool = BasicConv2d(i, 192, kernel_size=1)
+
+        def forward(self, x):
+            import torch
+            import torch.nn.functional as F
+            b3 = self.branch3x3_1(x)
+            b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
+            bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+            bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
+            bp = (F.max_pool2d(x, 3, stride=1, padding=1)
+                  if self.pool_kind == "max" else apool(x))
+            return torch.cat([self.branch1x1(x), b3, bd, self.branch_pool(bp)], 1)
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.Conv2d_1a_3x3 = BasicConv2d(3, 32, kernel_size=3, stride=2)
+            self.Conv2d_2a_3x3 = BasicConv2d(32, 32, kernel_size=3)
+            self.Conv2d_2b_3x3 = BasicConv2d(32, 64, kernel_size=3, padding=1)
+            self.Conv2d_3b_1x1 = BasicConv2d(64, 80, kernel_size=1)
+            self.Conv2d_4a_3x3 = BasicConv2d(80, 192, kernel_size=3)
+            self.Mixed_5b = InceptionA(192, 32)
+            self.Mixed_5c = InceptionA(256, 64)
+            self.Mixed_5d = InceptionA(288, 64)
+            self.Mixed_6a = InceptionB(288)
+            self.Mixed_6b = InceptionC(768, 128)
+            self.Mixed_6c = InceptionC(768, 160)
+            self.Mixed_6d = InceptionC(768, 160)
+            self.Mixed_6e = InceptionC(768, 192)
+            self.Mixed_7a = InceptionD(768)
+            self.Mixed_7b = InceptionE(1280, "avg")
+            self.Mixed_7c = InceptionE(2048, "max")
+
+        def forward(self, x):
+            import torch.nn.functional as F
+            h = self.Conv2d_2b_3x3(self.Conv2d_2a_3x3(self.Conv2d_1a_3x3(x)))
+            h = F.max_pool2d(h, 3, 2)
+            h = self.Conv2d_4a_3x3(self.Conv2d_3b_1x1(h))
+            h = F.max_pool2d(h, 3, 2)
+            for blk in ("Mixed_5b", "Mixed_5c", "Mixed_5d", "Mixed_6a",
+                        "Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e",
+                        "Mixed_7a", "Mixed_7b", "Mixed_7c"):
+                h = getattr(self, blk)(h)
+            return F.adaptive_avg_pool2d(h, 1).flatten(1)
+
+    return Net()
+
+
+@pytest.mark.slow
+def test_inception_functional_parity_with_torch():
+    """Converted torch FID-inception weights must reproduce the torch
+    forward — validates asymmetric paddings, count_include_pad pooling,
+    the Mixed_7c max-pool variant, and all layout transposes."""
+    import torch
+
+    torch.manual_seed(0)
+    net = _torch_fid_inception()
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.weight.uniform_(0.8, 1.2)
+                m.bias.normal_(0, 0.05)
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.8, 1.2)
+            elif isinstance(m, torch.nn.Conv2d):
+                fan_in = m.weight.shape[1] * m.weight.shape[2] * m.weight.shape[3]
+                m.weight.normal_(0, 1.0 / fan_in ** 0.5)
+    net.eval()
+
+    x = np.random.default_rng(2).random((2, 96, 96, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
+
+    params, stats = convert_inception_state_dict(net.state_dict())
+    model = InceptionV3FID(resize_input=False, normalize_input=False)
+    out = np.asarray(
+        model.apply({"params": params, "batch_stats": stats},
+                    jnp.asarray(x), train=False)
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-4)

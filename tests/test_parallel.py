@@ -60,3 +60,32 @@ def test_sharded_train_step_multidevice():
     # params remain replicated after the update
     leaf = jax.tree_util.tree_leaves(state.params)[0]
     assert leaf.sharding.is_equivalent_to(replicated_sharding(mesh), ndim=leaf.ndim)
+
+
+def test_device_count_invariance_sync_bn():
+    """The sharded step must produce the SAME loss as the single-device
+    step on the same batch — GSPMD semantics are device-count-invariant,
+    which also means BatchNorm statistics are computed over the GLOBAL
+    batch (sync-BN by construction; PARITY.md deviation row). The
+    reference's DDP computes per-replica BN stats instead."""
+    from mopoe_mimic_tpu.data.loader import BatchLoader
+    from mopoe_mimic_tpu.data.synthetic import SyntheticMimic
+    from mopoe_mimic_tpu.train import create_train_state, make_train_step
+
+    cfg = MopoeConfig(
+        method="joint_elbo", dataset="testing", batch_size=16, class_dim=4,
+        DIM_img=2, DIM_text=2, img_size=64, text_encoding="word",
+        vocab_size=50, compute_dtype="float32", seed=5,
+    )
+    ds = SyntheticMimic(cfg, seed=0)
+    batch, _ = next(iter(BatchLoader(ds, cfg.batch_size, shuffle=False)))
+    step = make_train_step(cfg)
+
+    losses = {}
+    for n_dev in (1, 8):
+        mesh = make_mesh(cfg, devices=jax.devices()[:n_dev])
+        state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+        state = replicate_state(mesh, state)
+        _, metrics = step(state, shard_batch(mesh, batch))
+        losses[n_dev] = float(metrics["total_loss"])
+    np.testing.assert_allclose(losses[1], losses[8], rtol=1e-5)
