@@ -73,7 +73,13 @@ class Main:
                 seed = int(np.random.default_rng().integers(0, 10000))
                 log.warning(f"NaN in latents ({e}); restart {self.restarts} with seed {seed}")
                 self.cfg = self.cfg.replace(seed=seed)
-            except (DeviceOutOfMemory, MemoryError):
+            except Exception as e:
+                # XLA surfaces OOM as XlaRuntimeError(RESOURCE_EXHAUSTED),
+                # not MemoryError — classify by content (train/autotune.py)
+                from mopoe_mimic_tpu.train.autotune import is_oom_error
+
+                if not is_oom_error(e):
+                    raise
                 new_bs = int(self.cfg.batch_size * 0.8)
                 if new_bs < 8:
                     raise
@@ -108,11 +114,21 @@ def main(argv=None):
         i = argv.index("--load_flags")
         flags_path = argv[i + 1]
         del argv[i : i + 2]
+    autotune = "--autotune_batch_size" in argv
+    if autotune:
+        argv.remove("--autotune_batch_size")
     cfg = MopoeConfig.from_cli(argv)
     if flags_path:
         cfg = load_flags(cfg, flags_path)
     if cfg.seed is None:
         cfg = cfg.replace(seed=int(np.random.default_rng().integers(0, 10000)))
+    if autotune:
+        from mopoe_mimic_tpu.train.autotune import autotune_batch_size
+
+        tuned = autotune_batch_size(cfg)
+        if tuned != cfg.batch_size:
+            log.info(f"autotuned batch_size {cfg.batch_size} → {tuned}")
+            cfg = cfg.replace(batch_size=tuned)
     return Main(cfg).main()
 
 
