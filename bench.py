@@ -37,6 +37,12 @@ def main():
     ap.add_argument("--batch", type=int, default=0)
     ap.add_argument("--pallas", action="store_true", help="use the pallas fusion kernel")
     ap.add_argument("--fp32", action="store_true", help="float32 compute instead of bf16")
+    ap.add_argument("--stream", action="store_true",
+                    help="feed a FRESH host batch every step through the "
+                    "prefetch queue (measures the full input pipeline, not "
+                    "just step compute)")
+    ap.add_argument("--uint8", action="store_true",
+                    help="uint8 transfer of float modalities (with --stream)")
     args = ap.parse_args()
 
     import jax
@@ -72,28 +78,52 @@ def main():
             batch_size=args.batch or (256 * n_chips if on_tpu else 16),
         )
 
+    if args.uint8:
+        cfg = cfg.replace(transfer_uint8=True)
     mesh = make_mesh(cfg)
-    ds = SyntheticMimic(cfg, seed=0, length=cfg.batch_size)
-    batch, _ = next(iter(BatchLoader(ds, cfg.batch_size, shuffle=False)))
-    batch = shard_batch(mesh, batch)
+    # --stream: enough distinct host batches that every step transfers
+    ds_len = cfg.batch_size * (8 if args.stream else 1)
+    ds = SyntheticMimic(cfg, seed=0, length=ds_len)
+    loader = BatchLoader(ds, cfg.batch_size, shuffle=False)
+    host_batch, _ = next(iter(loader))
+    batch = shard_batch(mesh, host_batch)
 
     state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
     state = replicate_state(mesh, state)
     step = make_train_step(cfg)
 
     # warmup (compile + first-execution jitter)
+    from mopoe_mimic_tpu.parallel.prefetch import prefetch_to_device, quantize_batch_uint8
+
+    warm = shard_batch(mesh, quantize_batch_uint8(host_batch)) if args.uint8 else batch
     for _ in range(args.warmup):
-        state, metrics = step(state, batch)
+        state, metrics = step(state, warm)
     jax.block_until_ready(metrics["total_loss"])
+
+    def run_window(n_steps: int) -> float:
+        nonlocal state
+        t0 = time.perf_counter()
+        if args.stream:
+            done = 0
+            while done < n_steps:
+                loader.set_epoch(done)  # reshuffle → distinct uploads
+                for b, _ in prefetch_to_device(
+                    iter(loader), mesh, quantize=args.uint8
+                ):
+                    state, m = step(state, b)
+                    done += 1
+                    if done >= n_steps:
+                        break
+        else:
+            for _ in range(n_steps):
+                state, m = step(state, warm)
+        jax.block_until_ready(m["total_loss"])
+        return time.perf_counter() - t0
 
     windows = []
     repeats = 1 if args.quick else max(args.repeats, 1)
     for _ in range(repeats):
-        t0 = time.perf_counter()
-        for _ in range(args.steps):
-            state, metrics = step(state, batch)
-        jax.block_until_ready(metrics["total_loss"])
-        windows.append(time.perf_counter() - t0)
+        windows.append(run_window(args.steps))
 
     dt = float(np.median(windows))
     spread_pct = 100.0 * (max(windows) - min(windows)) / dt if len(windows) > 1 else 0.0
@@ -110,8 +140,10 @@ def main():
         if ref_sps:
             vs_baseline = per_chip / ref_sps
 
+    suffix = "_stream" if args.stream else ""
+    suffix += "_uint8" if args.uint8 else ""
     print(json.dumps({
-        "metric": "train_samples_per_sec_per_chip_mopoe128",
+        "metric": f"train_samples_per_sec_per_chip_mopoe128{suffix}",
         "value": round(per_chip, 2),
         "unit": "samples/sec/chip",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,

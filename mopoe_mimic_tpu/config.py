@@ -179,6 +179,13 @@ class MopoeConfig:
     # intermittently deadlocks the first execution on the XLA *CPU* backend
     # (observed on 1-core hosts); enable on real TPU for in-place updates.
     donate_state: bool = False
+    # quantize float input modalities (images, char one-hots) to uint8 for
+    # the host→device transfer and dequantize (/255) on device: 4× less
+    # transfer volume — the input pipeline is the wall-clock bottleneck
+    # when feeding over a slow link or many hosts. Exact for {0,1} one-hots
+    # and for uint8-sourced JPEG pixels; ≤1/510 quantization noise for
+    # resized float images. Off by default (bit-parity with the reference).
+    transfer_uint8: bool = False
     # fuse the all-subsets PoE into one Pallas VMEM kernel (TPU only —
     # trace-time platform check falls back to the XLA masked-sum path
     # elsewhere). Bit-identical outputs, ~20% faster flagship train step.

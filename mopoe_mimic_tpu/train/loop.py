@@ -68,7 +68,8 @@ def run_epochs(
         train_loader.set_epoch(epoch)
         acc = MetricAccumulator()
         for batch, _labels in prefetch_to_device(
-            _at_most(iter(train_loader), steps_cap), mesh
+            _at_most(iter(train_loader), steps_cap), mesh,
+            quantize=cfg.transfer_uint8,
         ):
             state, metrics = train_step(state, batch)
             acc.update(metrics)
@@ -81,6 +82,10 @@ def run_epochs(
         acc = MetricAccumulator()
         for i, (batch, _labels) in enumerate(_at_most(iter(test_loader), steps_cap)):
             eval_rng, r = jax.random.split(eval_rng)
+            if cfg.transfer_uint8:
+                from mopoe_mimic_tpu.parallel.prefetch import quantize_batch_uint8
+
+                batch = quantize_batch_uint8(batch)
             acc.update(eval_step(state, shard_batch(mesh, batch), r))
         test_avg = acc.averages()
         _check_nans(cfg, test_avg)

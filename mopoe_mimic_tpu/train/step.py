@@ -52,6 +52,12 @@ def _forward_and_objective(
     train: bool,
 ):
     """Shared by train and eval: forward + total loss + metrics."""
+    # uint8-transferred modalities (cfg.transfer_uint8) dequantize on
+    # device; the division fuses into the first conv's input epilogue
+    batch = {
+        k: (v.astype(jnp.float32) / 255.0 if v.dtype == jnp.uint8 else v)
+        for k, v in batch.items()
+    }
     variables = {"params": params, "batch_stats": batch_stats}
     if train:
         outs, mut = model.apply(
