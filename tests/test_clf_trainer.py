@@ -58,3 +58,32 @@ def test_train_classifier_writes_csv_twin(tmp_path):
     row = pd.read_csv(csv).iloc[0]
     assert row["modality"] == "PA"
     assert any(c.startswith("best_") for c in row.index)
+
+
+def test_parameter_grid_enumeration():
+    from mopoe_mimic_tpu.train.grid_search import parameter_grid
+
+    pts = list(parameter_grid({"initial_learning_rate": [1e-3, 1e-4],
+                               "clf_loss": ["dice"]}))
+    assert len(pts) == 2
+    assert {p["initial_learning_rate"] for p in pts} == {1e-3, 1e-4}
+    assert all(p["clf_loss"] == "dice" for p in pts)
+
+
+@pytest.mark.slow
+def test_grid_search_clf_smoke(tmp_path):
+    from mopoe_mimic_tpu.train.grid_search import grid_search_clf
+
+    cfg = MopoeConfig(
+        dataset="testing", img_size=64, batch_size=8, DIM_img=2, DIM_text=2,
+        compute_dtype="float32", seed=0, steps_per_training_epoch=1,
+        dir_clf=str(tmp_path / "clf"),
+    )
+    ds = SyntheticMimic(cfg, seed=0, length=16)
+    df = grid_search_clf(
+        cfg, "PA", ds, SyntheticMimic(cfg, seed=1, length=16), 3,
+        grid={"initial_learning_rate": [1e-3, 1e-4]},
+        results_csv=str(tmp_path / "grid.csv"), max_epochs=1,
+    )
+    assert len(df) == 2 and (tmp_path / "grid.csv").exists()
+    assert "initial_learning_rate" in df.columns
