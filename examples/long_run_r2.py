@@ -57,6 +57,9 @@ def make_cfg(preset: str, workdir: str) -> MopoeConfig:
         img_size=128, DIM_img=64, DIM_text=64, class_dim=64, batch_size=256,
         synthetic_length=8192, end_epoch=100, eval_freq=20, eval_freq_fid=20,
         donate_state=True,
+        # the structured task converges by ~epoch 15; disable early stop so
+        # the full ≥50-epoch trajectory (and every eval round) is recorded
+        max_early_stopping_index=1000,
         **common,
     )
 
@@ -67,7 +70,8 @@ def fmt_results(exp, final_eval, run_summary, elapsed_min: float) -> str:
         "# RESULTS — round-2 full-metrics training run",
         "",
         f"Flagship MoPoE (`{cfg.method}`), {cfg.img_size}px, word text, "
-        f"batch {cfg.batch_size}, {cfg.end_epoch} epochs on the structured "
+        f"batch {cfg.batch_size}, {run_summary.get('epochs_run', '?')} epochs "
+        f"trained (cap {cfg.end_epoch}) on the structured "
         f"synthetic dataset ({cfg.synthetic_length} train / "
         f"{len(exp.dataset_test)} test samples, {cfg.synthetic_classes} latent "
         "classes). ALL heavy evals enabled at FULL test-set coverage; "

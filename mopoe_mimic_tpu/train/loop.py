@@ -120,6 +120,7 @@ def run_epochs(
             break
 
     return {"state": state, "train": train_avg, "test": last_test,
+            "epochs_run": len(epoch_times),
             "mean_epoch_time": float(np.mean(epoch_times)) if epoch_times else 0.0}
 
 
