@@ -60,6 +60,9 @@ def make_cfg(preset: str, workdir: str) -> MopoeConfig:
         # the structured task converges by ~epoch 15; disable early stop so
         # the full ≥50-epoch trajectory (and every eval round) is recorded
         max_early_stopping_index=1000,
+        # early epochs improve every time; a full-state checkpoint is
+        # ~minutes over the tunnel — keep the periodic + final saves only
+        checkpoint_on_improvement=False, checkpoint_freq=50,
         **common,
     )
 

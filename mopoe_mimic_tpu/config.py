@@ -156,6 +156,11 @@ class MopoeConfig:
     max_early_stopping_index: int = 5
     start_early_stopping_epoch: int = 0
     checkpoint_freq: int = 50  # save every N epochs (experiment.py:388-402)
+    # also checkpoint whenever the test loss improves (beyond the
+    # reference, which only saves every 50 epochs). A full-state save
+    # device_gets params+opt_state — worth skipping on slow links where
+    # early training improves every epoch.
+    checkpoint_on_improvement: bool = True
 
     # ----- directories ------------------------------------------------------
     dir_data: str = "../data"

@@ -101,7 +101,7 @@ class Callbacks:
             self.early_stopping_index += 1
 
         if self.ckpt is not None and (
-            improved
+            (improved and cfg.checkpoint_on_improvement)
             or (epoch + 1) % cfg.checkpoint_freq == 0
             or epoch == cfg.end_epoch - 1
         ):
