@@ -35,7 +35,9 @@ def main():
     ap.add_argument("--repeats", type=int, default=5, help="timing windows (median reported)")
     ap.add_argument("--warmup", type=int, default=10)
     ap.add_argument("--batch", type=int, default=0)
-    ap.add_argument("--pallas", action="store_true", help="use the pallas fusion kernel")
+    ap.add_argument("--no-pallas", action="store_true",
+                    help="disable the pallas fusion kernel (ablation; it is "
+                    "ON by default on TPU, a no-op elsewhere)")
     ap.add_argument("--fp32", action="store_true", help="float32 compute instead of bf16")
     ap.add_argument("--stream", action="store_true",
                     help="feed a FRESH host batch every step through the "
@@ -72,7 +74,7 @@ def main():
             method="joint_elbo", dataset="testing", img_size=128, DIM_img=64,
             DIM_text=64, class_dim=64, text_encoding="word", vocab_size=3517,
             initial_learning_rate=5e-4, donate_state=on_tpu,
-            use_pallas_fusion=args.pallas and on_tpu,
+            use_pallas_fusion=not args.no_pallas,
             compute_dtype="float32" if args.fp32 else "bfloat16",
             # 256/chip = the reference's own cluster batch (job_mimic.sh:26)
             batch_size=args.batch or (256 * n_chips if on_tpu else 16),
