@@ -18,7 +18,7 @@ import numpy as np
 
 from mopoe_mimic_tpu.config import MopoeConfig
 from mopoe_mimic_tpu.experiment import Experiment
-from mopoe_mimic_tpu.parallel.mesh import batch_sharding, make_mesh, replicate_state, shard_batch
+from mopoe_mimic_tpu.parallel.mesh import make_mesh, replicate_state
 from mopoe_mimic_tpu.parallel.prefetch import prefetch_to_device
 from mopoe_mimic_tpu.train.callbacks import Callbacks
 from mopoe_mimic_tpu.train.state import TrainState
@@ -41,6 +41,20 @@ def run_epochs(
     cfg = exp.cfg
     mesh = mesh or make_mesh(cfg)
     train_loader, test_loader = exp.make_loaders()
+
+    # device-resident data: park the compact store in HBM once; per-step
+    # input transfer collapses to the [B] index vector (data/device_store.py)
+    store_train = store_test = None
+    if cfg.device_resident_data:
+        from mopoe_mimic_tpu.data.device_store import DeviceStore
+
+        if cfg.weighted_sampler:
+            raise NotImplementedError(
+                "device_resident_data does not support weighted_sampler; "
+                "stream batches instead"
+            )
+        store_train = DeviceStore(exp.dataset_train, cfg, mesh=mesh)
+        store_test = DeviceStore(exp.dataset_test, cfg, mesh=mesh)
 
     state = state if state is not None else exp.init_state()
     start_epoch = cfg.start_epoch
@@ -67,10 +81,18 @@ def run_epochs(
         # ---- train pass ------------------------------------------------
         train_loader.set_epoch(epoch)
         acc = MetricAccumulator()
-        for batch, _labels in prefetch_to_device(
-            _at_most(iter(train_loader), steps_cap), mesh,
-            quantize=cfg.transfer_uint8,
-        ):
+        if store_train is not None:
+            train_iter = _at_most(
+                store_train.iter_epoch(epoch, cfg.batch_size,
+                                       seed=cfg.seed or 0),
+                steps_cap,
+            )
+        else:
+            train_iter = prefetch_to_device(
+                _at_most(iter(train_loader), steps_cap), mesh,
+                quantize=cfg.transfer_uint8,
+            )
+        for batch, _labels in train_iter:
             state, metrics = train_step(state, batch)
             acc.update(metrics)
         train_avg = acc.averages()
@@ -80,13 +102,20 @@ def run_epochs(
         # ---- test pass ---------------------------------------------------
         test_loader.set_epoch(epoch)
         acc = MetricAccumulator()
-        for i, (batch, _labels) in enumerate(_at_most(iter(test_loader), steps_cap)):
+        if store_test is not None:
+            test_iter = _at_most(
+                store_test.iter_epoch(epoch, cfg.batch_size,
+                                      seed=(cfg.seed or 0) + 1),
+                steps_cap,
+            )
+        else:
+            test_iter = prefetch_to_device(
+                _at_most(iter(test_loader), steps_cap), mesh,
+                quantize=cfg.transfer_uint8,
+            )
+        for batch, _labels in test_iter:
             eval_rng, r = jax.random.split(eval_rng)
-            if cfg.transfer_uint8:
-                from mopoe_mimic_tpu.parallel.prefetch import quantize_batch_uint8
-
-                batch = quantize_batch_uint8(batch)
-            acc.update(eval_step(state, shard_batch(mesh, batch), r))
+            acc.update(eval_step(state, batch, r))
         test_avg = acc.averages()
         _check_nans(cfg, test_avg)
         exp.tb_logger.write_epoch("test", epoch, _loggable(test_avg))

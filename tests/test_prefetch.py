@@ -4,10 +4,14 @@ from mopoe_mimic_tpu.parallel.mesh import make_mesh
 from mopoe_mimic_tpu.parallel.prefetch import prefetch_to_device
 
 
-def test_prefetch_preserves_order_and_places_on_device():
+import pytest
+
+
+@pytest.mark.parametrize("threaded", [False, True])
+def test_prefetch_preserves_order_and_places_on_device(threaded):
     mesh = make_mesh()
     batches = [({"x": np.full((8, 2), i, np.float32)}, np.full((8,), i)) for i in range(5)]
-    out = list(prefetch_to_device(iter(batches), mesh, size=2))
+    out = list(prefetch_to_device(iter(batches), mesh, size=2, threaded=threaded))
     assert len(out) == 5
     for i, (batch, labels) in enumerate(out):
         assert float(np.asarray(batch["x"])[0, 0]) == i
@@ -15,9 +19,54 @@ def test_prefetch_preserves_order_and_places_on_device():
         assert hasattr(batch["x"], "sharding")
 
 
-def test_prefetch_empty_iterator():
+@pytest.mark.parametrize("threaded", [False, True])
+def test_prefetch_empty_iterator(threaded):
     mesh = make_mesh()
-    assert list(prefetch_to_device(iter([]), mesh)) == []
+    assert list(prefetch_to_device(iter([]), mesh, threaded=threaded)) == []
+
+
+def test_prefetch_threaded_propagates_producer_exception():
+    mesh = make_mesh()
+
+    def bad():
+        yield {"x": np.zeros((8, 2), np.float32)}, np.zeros((8,))
+        raise ValueError("loader broke")
+
+    it = prefetch_to_device(bad(), mesh, size=2, threaded=True)
+    next(it)
+    with pytest.raises(ValueError, match="loader broke"):
+        list(it)
+
+
+def test_prefetch_threaded_early_break_stops_producer():
+    """Abandoning the generator (steps_per_training_epoch cap) must not leave
+    the producer thread spinning or the source iterator draining forever."""
+    import itertools
+    import threading
+
+    mesh = make_mesh()
+    pulled = []
+
+    def source():
+        for i in itertools.count():
+            pulled.append(i)
+            yield {"x": np.full((8, 2), i, np.float32)}, np.full((8,), i)
+
+    before = threading.active_count()
+    gen = prefetch_to_device(source(), mesh, size=2, threaded=True)
+    for _ in range(3):
+        next(gen)
+    gen.close()
+    # bounded queue: producer can be at most a few batches ahead
+    assert len(pulled) <= 3 + 4
+    # producer thread exits once the stop flag is observed
+    for _ in range(50):
+        if threading.active_count() <= before:
+            break
+        import time
+
+        time.sleep(0.05)
+    assert threading.active_count() <= before
 
 
 def test_quantize_batch_uint8_roundtrip():
