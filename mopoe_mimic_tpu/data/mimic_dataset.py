@@ -99,6 +99,24 @@ class MimicDataset:
     def __len__(self) -> int:
         return len(self.labels)
 
+    def text_ids(self, idx: np.ndarray) -> np.ndarray:
+        """Compact id encoding for the given dataset rows: int32 word ids
+        or uint8 char alphabet ids (DeviceStore's HBM-resident form)."""
+        idx = np.atleast_1d(np.asarray(idx))
+        if self.cfg.text_encoding == "word":
+            return np.stack([
+                self._text_ids[int(self.row_index[i])] for i in idx
+            ]).astype(np.int32)
+        from mopoe_mimic_tpu.data.text_codec import char_ids_encode
+
+        return np.stack([
+            char_ids_encode(
+                self.cfg.len_sequence,
+                str(self.report_findings.iloc[int(self.row_index[i])]).lower(),
+            )
+            for i in idx
+        ])
+
     def _encode_text(self, ds_index: int) -> np.ndarray:
         if self.cfg.text_encoding == "word":
             return self._text_ids[ds_index]
@@ -107,7 +125,16 @@ class MimicDataset:
         )
 
     def _img(self, store: np.ndarray, ds_index: int) -> np.ndarray:
-        img = np.asarray(store[ds_index], dtype=np.float32)
+        """One image, HWC. uint8 stores (tensor_builder store_uint8) pass
+        through as uint8 when cfg.transfer_uint8 — the jitted step
+        dequantizes on device — else dequantize to float32 here."""
+        raw = store[ds_index]
+        if raw.dtype == np.uint8 and self.cfg.transfer_uint8:
+            img = np.asarray(raw)
+        elif raw.dtype == np.uint8:
+            img = np.asarray(raw, dtype=np.float32) / 255.0
+        else:
+            img = np.asarray(raw, dtype=np.float32)
         if img.ndim == 2:
             img = img[..., None]  # HWC
         elif img.shape[0] in (1, 3):  # CHW legacy layout → HWC

@@ -30,14 +30,17 @@ SPLITS = ("train", "eval", "test")
 CHEXPERT_LABELS = ["Lung Opacity", "Pleural Effusion", "Support Devices"]
 
 
-def center_crop_resize(img, size: int) -> np.ndarray:
-    """PIL image → square center crop → antialias resize → float32 [0,1]."""
+def center_crop_resize(img, size: int, uint8: bool = False) -> np.ndarray:
+    """PIL image → square center crop → antialias resize → float32 [0,1]
+    (or raw uint8 bytes when ``uint8`` — exactly float·255)."""
     from PIL import Image
 
     w, h = img.size
     s = min(w, h)
     img = img.crop(((w - s) // 2, (h - s) // 2, (w + s) // 2, (h + s) // 2))
     img = img.resize((size, size), Image.LANCZOS)
+    if uint8:
+        return np.asarray(img, dtype=np.uint8)
     return np.asarray(img, dtype=np.float32) / 255.0
 
 
@@ -48,11 +51,19 @@ class TensorDatasetBuilder:
         dir_out: str,
         img_size: int = 128,
         max_rows: Optional[int] = None,
+        store_uint8: bool = True,
     ):
+        """store_uint8=True (default) writes raw image bytes — 4× smaller
+        on disk / in page cache than float32 at MIMIC scale (~2.1 GB vs
+        ~8.5 GB for 65k studies × 2 views at 128px) and lossless w.r.t.
+        the float store (float == uint8/255). MimicDataset dequantizes on
+        load, or passes uint8 straight to the device when
+        cfg.transfer_uint8 (train/step.py dequantizes on-device)."""
         self.dir_mimic = Path(dir_mimic)
         self.dir_out = Path(dir_out) / f"files_small_{img_size}"
         self.img_size = img_size
         self.max_rows = max_rows
+        self.store_uint8 = store_uint8
 
     def __call__(self) -> None:
         self.dir_out.mkdir(parents=True, exist_ok=True)
@@ -79,9 +90,11 @@ class TensorDatasetBuilder:
         for i, row in df.iterrows():
             try:
                 with Image.open(self.dir_mimic / row["path_pa"]) as im:
-                    pa = center_crop_resize(im.convert("L"), self.img_size)
+                    pa = center_crop_resize(im.convert("L"), self.img_size,
+                                            uint8=self.store_uint8)
                 with Image.open(self.dir_mimic / row["path_lat"]) as im:
-                    lat = center_crop_resize(im.convert("L"), self.img_size)
+                    lat = center_crop_resize(im.convert("L"), self.img_size,
+                                             uint8=self.store_uint8)
             except (FileNotFoundError, OSError) as e:
                 log.debug(f"dropping row {i}: {e}")
                 continue
@@ -119,6 +132,7 @@ def dataset_stats(dir_data: str, img_size: int, split: str = "train") -> Dict[st
     out = {}
     for view in ("pa", "lat"):
         arr = np.load(base / f"{split}_{view}.npy", mmap_mode="r")
-        out[f"{view}_mean"] = float(np.mean(arr))
-        out[f"{view}_std"] = float(np.std(arr))
+        scale = 255.0 if arr.dtype == np.uint8 else 1.0
+        out[f"{view}_mean"] = float(np.mean(arr) / scale)
+        out[f"{view}_std"] = float(np.std(np.asarray(arr, np.float64) / scale))
     return out

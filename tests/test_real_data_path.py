@@ -99,3 +99,35 @@ def test_builder_dataset_train_roundtrip(tmp_path):
     assert (tmp_path / "out" / "toy_files_small_64" / "train_pa.npy").exists()
     stats = dataset_stats(str(tmp_path / "out"), 64)
     assert 0.0 < stats["pa_mean"] < 1.0
+
+
+def test_uint8_store_matches_float_store(tmp_path):
+    """store_uint8 (default) is lossless vs the float32 store (float ==
+    uint8/255) and passes raw uint8 through when cfg.transfer_uint8."""
+    _make_fake_mimic_tree(tmp_path)
+    TensorDatasetBuilder(str(tmp_path), str(tmp_path / "u8"), img_size=64)()
+    TensorDatasetBuilder(str(tmp_path), str(tmp_path / "f32"), img_size=64,
+                         store_uint8=False)()
+    u8 = np.load(tmp_path / "u8" / "files_small_64" / "train_pa.npy")
+    f32 = np.load(tmp_path / "f32" / "files_small_64" / "train_pa.npy")
+    assert u8.dtype == np.uint8 and f32.dtype == np.float32
+    np.testing.assert_allclose(u8.astype(np.float32) / 255.0, f32, atol=1e-7)
+    assert u8.nbytes * 4 == f32.nbytes
+
+    base_cfg = dict(dataset="Mimic", img_size=64, text_encoding="char",
+                    batch_size=2, class_dim=4, DIM_img=2, DIM_text=2,
+                    compute_dtype="float32")
+    ds_u8 = MimicDataset(MopoeConfig(dir_data=str(tmp_path / "u8"), **base_cfg), "train")
+    ds_f32 = MimicDataset(MopoeConfig(dir_data=str(tmp_path / "f32"), **base_cfg), "train")
+    s_u8, _ = ds_u8[0]
+    s_f32, _ = ds_f32[0]
+    assert s_u8["PA"].dtype == np.float32  # host dequant without transfer_uint8
+    np.testing.assert_allclose(s_u8["PA"], s_f32["PA"], atol=1e-7)
+
+    # transfer_uint8: raw bytes flow to the device untouched
+    cfg_t = MopoeConfig(dir_data=str(tmp_path / "u8"), transfer_uint8=True, **base_cfg)
+    ds_t = MimicDataset(cfg_t, "train")
+    s_t, _ = ds_t[0]
+    assert s_t["PA"].dtype == np.uint8
+    batch, _ = next(iter(BatchLoader(ds_t, 2, shuffle=False)))
+    assert batch["PA"].dtype == np.uint8 and batch["PA"].shape == (2, 64, 64, 1)
