@@ -175,6 +175,14 @@ class MopoeConfig:
     # violent early-training landscape at lr ≥ 5e-4)
     grad_clip_norm: float = 0.0
 
+    # BatchNorm epsilon for the residual-block networks. torch default
+    # 1e-5 = reference parity. The encoders end in BN at 1×1 spatial whose
+    # batch variance collapses toward eps on unstructured inputs
+    # (docs/STABILITY.md root-cause analysis); raising bn_eps (e.g. 1e-3)
+    # caps that amplification as an opt-in stability mode — the
+    # architecture and every other default stay untouched.
+    bn_eps: float = 1e-5
+
     # ----- TPU-native knobs (no reference counterpart) ----------------------
     compute_dtype: str = "bfloat16"  # matmul/conv compute dtype
     param_dtype: str = "float32"
@@ -191,6 +199,13 @@ class MopoeConfig:
     # and for uint8-sourced JPEG pixels; ≤1/510 quantization noise for
     # resized float images. Off by default (bit-parity with the reference).
     transfer_uint8: bool = False
+    # park the ENTIRE dataset in HBM as a compact store (uint8 images, id
+    # text) and gather batches on device — per-step host→device transfer
+    # collapses to the [B] index vector. The TPU-native answer to the
+    # reference's load-everything-into-host-RAM (MimicDataset.py:42-43);
+    # MIMIC at 128px uint8 is ~2.1 GB (DeviceStore.fits() pre-checks the
+    # budget). Off by default: streaming is the general path.
+    device_resident_data: bool = False
     # fuse the all-subsets PoE into one Pallas VMEM kernel (TPU only —
     # trace-time platform check falls back to the XLA masked-sum path
     # elsewhere). Bit-identical outputs, ~20% faster flagship train step.

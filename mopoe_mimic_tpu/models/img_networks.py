@@ -40,6 +40,7 @@ class FeatureExtractorImg(nn.Module):
     img_size: int = 128
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    bn_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = True) -> jnp.ndarray:
@@ -47,7 +48,8 @@ class FeatureExtractorImg(nn.Module):
         if self.img_size not in (64, 128, 256):
             raise NotImplementedError(f"img_size {self.img_size} unsupported")
         kw = dict(a=_A, b=_B, use_conv_bias=False, channelwise_dropout=True,
-                  dtype=self.dtype, param_dtype=self.param_dtype)
+                  dtype=self.dtype, param_dtype=self.param_dtype,
+                  bn_eps=self.bn_eps)
         d = self.dim
         h = _conv(d, 3, 2, 1, False, self.dtype, self.param_dtype, "conv1", 2)(x)
         h = ResidualBlockConv(2 * d, 4, 2, 1, name="resblock_1", **kw)(h, train=train)
@@ -70,12 +72,14 @@ class DataGeneratorImg(nn.Module):
     image_channels: int = 1
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    bn_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, *, train: bool = True) -> jnp.ndarray:
         """feats: [B, 1, 1, 5·dim] → [B, img_size, img_size, image_channels]."""
         kw = dict(a=_A, b=_B, use_conv_bias=False, channelwise_dropout=True,
-                  dtype=self.dtype, param_dtype=self.param_dtype)
+                  dtype=self.dtype, param_dtype=self.param_dtype,
+                  bn_eps=self.bn_eps)
         d = self.dim
         h = ResidualBlockTransposeConv(4 * d, 4, 1, 0, name="resblock_1", **kw)(feats, train=train)
         h = ResidualBlockTransposeConv(3 * d, 4, 2, 1, name="resblock_2", **kw)(h, train=train)
@@ -106,6 +110,7 @@ class EncoderImg(nn.Module):
     feature_extractor: str = "resnet"
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    bn_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = True):
@@ -118,7 +123,7 @@ class EncoderImg(nn.Module):
         elif self.feature_extractor == "resnet":
             h = FeatureExtractorImg(
                 self.dim, self.img_size, self.dtype, self.param_dtype,
-                name="feature_extractor",
+                bn_eps=self.bn_eps, name="feature_extractor",
             )(x, train=train)
         else:
             raise NotImplementedError(self.feature_extractor)
@@ -139,6 +144,7 @@ class DecoderImg(nn.Module):
     image_channels: int = 1
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    bn_eps: float = 1e-5
 
     FIXED_SCALE: float = 0.75
 
@@ -158,5 +164,5 @@ class DecoderImg(nn.Module):
         feats = feats.reshape(feats.shape[0], 1, 1, -1)
         return DataGeneratorImg(
             self.dim, self.img_size, self.image_channels, self.dtype,
-            self.param_dtype, name="img_generator",
+            self.param_dtype, bn_eps=self.bn_eps, name="img_generator",
         )(feats, train=train)

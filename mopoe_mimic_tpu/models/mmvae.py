@@ -70,6 +70,7 @@ class MMVae(nn.Module):
                     len_sequence=cfg.len_sequence,
                     dtype=dtype,
                     param_dtype=pdtype,
+                    bn_eps=cfg.bn_eps,
                     name=f"encoder_{m}",
                 )
                 decoders[m] = DecoderText(
@@ -84,6 +85,7 @@ class MMVae(nn.Module):
                     ),
                     dtype=dtype,
                     param_dtype=pdtype,
+                    bn_eps=cfg.bn_eps,
                     name=f"decoder_{m}",
                 )
             else:
@@ -95,6 +97,7 @@ class MMVae(nn.Module):
                     feature_extractor=cfg.feature_extractor_img,
                     dtype=dtype,
                     param_dtype=pdtype,
+                    bn_eps=cfg.bn_eps,
                     name=f"encoder_{m}",
                 )
                 decoders[m] = DecoderImg(
@@ -105,6 +108,7 @@ class MMVae(nn.Module):
                     image_channels=cfg.image_channels,
                     dtype=dtype,
                     param_dtype=pdtype,
+                    bn_eps=cfg.bn_eps,
                     name=f"decoder_{m}",
                 )
         self.encoders = encoders

@@ -105,6 +105,11 @@ class _BlockBase(nn.Module):
     use_conv_bias: bool = True  # 2-D reference blocks use bias=False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    # torch default 1e-5 = reference parity. The encoders end in BN at 1×1
+    # spatial whose batch variance can collapse toward eps on unstructured
+    # inputs (docs/STABILITY.md); cfg.bn_eps raises this floor as an
+    # opt-in stability mode without touching the architecture.
+    bn_eps: float = 1e-5
 
     def _bn(self, name: str) -> nn.BatchNorm:
         # torch BatchNorm defaults: eps=1e-5, running-stat momentum 0.1
@@ -112,7 +117,7 @@ class _BlockBase(nn.Module):
         return nn.BatchNorm(
             use_running_average=None,
             momentum=0.9,
-            epsilon=1e-5,
+            epsilon=self.bn_eps,
             dtype=jnp.float32,
             param_dtype=self.param_dtype,
             name=name,

@@ -39,11 +39,13 @@ class FeatureExtractorTextChar(nn.Module):
     dim: int
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    bn_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = True) -> jnp.ndarray:
         """x: [B, 1024, num_features] one-hot → [B, 5·dim]."""
-        kw = dict(a=_A, b=_B, dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(a=_A, b=_B, dtype=self.dtype, param_dtype=self.param_dtype,
+                  bn_eps=self.bn_eps)
         d = self.dim
         h = _conv(d, 4, 2, 1, True, self.dtype, self.param_dtype, "conv1", 1)(x)
         widths = [2 * d, 3 * d, 4 * d, 4 * d, 4 * d, 5 * d, 5 * d]
@@ -58,11 +60,13 @@ class DataGeneratorTextChar(nn.Module):
     num_features: int
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    bn_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, *, train: bool = True) -> jnp.ndarray:
         """feats: [B, 1, 5·dim] → log-softmax logits [B, 1024, num_features]."""
-        kw = dict(a=_A, b=_B, dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(a=_A, b=_B, dtype=self.dtype, param_dtype=self.param_dtype,
+                  bn_eps=self.bn_eps)
         d = self.dim
         h = ResidualBlockTransposeConv(5 * d, 4, 1, 0, name="resblock_1", **kw)(feats, train=train)
         widths = [5 * d, 5 * d, 4 * d, 4 * d, 3 * d, 2 * d, 1 * d]
@@ -81,11 +85,13 @@ class FeatureExtractorTextWord(nn.Module):
     len_sequence: int = 128
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    bn_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, ids: jnp.ndarray, *, train: bool = True) -> jnp.ndarray:
         """ids: [B, L] int → [B, 5·dim]."""
-        kw = dict(a=_A, b=_B, dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(a=_A, b=_B, dtype=self.dtype, param_dtype=self.param_dtype,
+                  bn_eps=self.bn_eps)
         d = self.dim
         ids = ids.astype(jnp.int32)
         emb = nn.Embed(
@@ -113,10 +119,12 @@ class DataGeneratorTextWord(nn.Module):
     last_layer: str = "softmax"  # none | softmax | sigmoid
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    bn_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, *, train: bool = True) -> jnp.ndarray:
-        kw = dict(a=_A, b=_B, dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(a=_A, b=_B, dtype=self.dtype, param_dtype=self.param_dtype,
+                  bn_eps=self.bn_eps)
         d = self.dim
         h = ResidualBlockTransposeConv(5 * d, 4, 1, 0, name="resblock_1", **kw)(feats, train=train)
         h = ResidualBlockTransposeConv(5 * d, 4, 2, 1, name="resblock_2", **kw)(h, train=train)
@@ -158,17 +166,19 @@ class EncoderText(nn.Module):
     len_sequence: int = 1024
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    bn_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = True):
         if self.text_encoding == "char":
             h = FeatureExtractorTextChar(
-                self.dim, self.dtype, self.param_dtype, name="feature_extractor"
+                self.dim, self.dtype, self.param_dtype,
+                bn_eps=self.bn_eps, name="feature_extractor",
             )(x, train=train)
         elif self.text_encoding == "word":
             h = FeatureExtractorTextWord(
                 self.dim, self.vocab_size, self.len_sequence, self.dtype,
-                self.param_dtype, name="feature_extractor",
+                self.param_dtype, bn_eps=self.bn_eps, name="feature_extractor",
             )(x, train=train)
         else:
             raise NotImplementedError(self.text_encoding)
@@ -190,6 +200,7 @@ class DecoderText(nn.Module):
     last_layer: str = "softmax"
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    bn_eps: float = 1e-5
 
     @nn.compact
     def __call__(
@@ -208,9 +219,10 @@ class DecoderText(nn.Module):
         if self.text_encoding == "char":
             return DataGeneratorTextChar(
                 self.dim, self.num_features, self.dtype, self.param_dtype,
-                name="text_generator",
+                bn_eps=self.bn_eps, name="text_generator",
             )(feats, train=train)
         return DataGeneratorTextWord(
             self.dim, self.num_features, self.len_sequence, self.last_layer,
-            self.dtype, self.param_dtype, name="text_generator",
+            self.dtype, self.param_dtype, bn_eps=self.bn_eps,
+            name="text_generator",
         )(feats, train=train)

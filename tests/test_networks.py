@@ -113,3 +113,51 @@ def test_word_embedding_padding_idx_zero():
     emb = np.asarray(emb_table)[np.asarray(ids)]
     masked = emb * (np.asarray(ids) != 0)[..., None]
     assert np.allclose(masked, 0.0)
+
+
+def test_bn_eps_knob_propagates():
+    """cfg.bn_eps reaches every BatchNorm in the stack: with constant
+    inputs (zero batch variance) the first BN divides by sqrt(eps), so a
+    larger eps strictly shrinks the activations downstream."""
+    import numpy as np
+
+    x = jnp.ones((4, 64, 64, 1), jnp.float32)  # zero variance everywhere
+
+    def head_scale(eps):
+        enc = EncoderImg(dim=2, class_dim=4, img_size=64, bn_eps=eps)
+        v = enc.init(RNGS, x, train=True)
+        (mu, _lv), _ = enc.apply(
+            v, x, train=True, rngs=DROP, mutable=["batch_stats"])
+        return float(jnp.abs(mu).max())
+
+    # identical params (same init rng), only eps differs
+    assert head_scale(1e-1) < head_scale(1e-5)
+
+
+def test_bn_eps_flows_from_config():
+    from mopoe_mimic_tpu.config import MopoeConfig
+    from mopoe_mimic_tpu.models.mmvae import MMVae
+
+    cfg = MopoeConfig(
+        method="joint_elbo", dataset="testing", batch_size=2, class_dim=4,
+        DIM_img=2, DIM_text=2, img_size=64, text_encoding="word",
+        vocab_size=20, compute_dtype="float32", bn_eps=1e-2,
+    )
+    model = MMVae(cfg)
+    batch = {
+        "PA": jnp.zeros((2, 64, 64, 1)),
+        "Lateral": jnp.zeros((2, 64, 64, 1)),
+        "text": jnp.zeros((2, 128), jnp.int32),
+    }
+    rngs = {**RNGS, "reparam": jax.random.PRNGKey(3)}
+    v = model.init(rngs, batch, train=True)
+    assert model.config.bn_eps == 1e-2
+    out, _ = model.apply(
+        v, batch, train=True,
+        rngs={"dropout": jax.random.PRNGKey(2), "reparam": jax.random.PRNGKey(4)},
+        mutable=["batch_stats"],
+    )
+    import numpy as np
+
+    mu, _lv = out["group_distr"]
+    assert np.isfinite(float(mu.sum()))
