@@ -45,6 +45,10 @@ def main():
                     "just step compute)")
     ap.add_argument("--uint8", action="store_true",
                     help="uint8 transfer of float modalities (with --stream)")
+    ap.add_argument("--device-store", action="store_true",
+                    help="park the dataset in HBM and gather batches on "
+                    "device (fresh batch every step; only the [B] index "
+                    "vector crosses the link)")
     args = ap.parse_args()
 
     import jax
@@ -83,12 +87,18 @@ def main():
     if args.uint8:
         cfg = cfg.replace(transfer_uint8=True)
     mesh = make_mesh(cfg)
-    # --stream: enough distinct host batches that every step transfers
-    ds_len = cfg.batch_size * (8 if args.stream else 1)
+    # --stream/--device-store: enough distinct batches that every step is fresh
+    ds_len = cfg.batch_size * (8 if (args.stream or args.device_store) else 1)
     ds = SyntheticMimic(cfg, seed=0, length=ds_len)
     loader = BatchLoader(ds, cfg.batch_size, shuffle=False)
     host_batch, _ = next(iter(loader))
     batch = shard_batch(mesh, host_batch)
+
+    store = None
+    if args.device_store:
+        from mopoe_mimic_tpu.data.device_store import DeviceStore
+
+        store = DeviceStore(ds, cfg, mesh=mesh)
 
     state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
     state = replicate_state(mesh, state)
@@ -105,7 +115,17 @@ def main():
     def run_window(n_steps: int) -> float:
         nonlocal state
         t0 = time.perf_counter()
-        if args.stream:
+        if store is not None:
+            done = 0
+            epoch = 0
+            while done < n_steps:
+                epoch += 1
+                for b, _ in store.iter_epoch(epoch, cfg.batch_size):
+                    state, m = step(state, b)
+                    done += 1
+                    if done >= n_steps:
+                        break
+        elif args.stream:
             done = 0
             while done < n_steps:
                 loader.set_epoch(done)  # reshuffle → distinct uploads
@@ -144,6 +164,7 @@ def main():
 
     suffix = "_stream" if args.stream else ""
     suffix += "_uint8" if args.uint8 else ""
+    suffix += "_devstore" if args.device_store else ""
     print(json.dumps({
         "metric": f"train_samples_per_sec_per_chip_mopoe128{suffix}",
         "value": round(per_chip, 2),

@@ -1,0 +1,197 @@
+"""Device-resident dataset: the store lives in HBM, batches are gathered
+on device — steady-state input transfer is just the index vector.
+
+Motivation (measured, examples/profile_step.py): the flagship step
+computes in ~12 ms resident, but streaming fresh host batches costs
+~40× that over a thin host→device link (490 ms f32, 271 ms uint8 per
+step) — the input pipeline, not compute, bounds training. The reference
+has the same design pressure and answers it by loading the whole ``.pt``
+tensor store into host RAM (mimic/dataio/MimicDataset.py:42-43); the
+TPU-native answer is to park the compact store in HBM instead:
+
+  * images as raw uint8 (4× smaller than float32; lossless when the
+    on-disk store is uint8, ≤1/510 quantization otherwise — the same
+    contract as cfg.transfer_uint8);
+  * text as ids (int32 word ids, uint8 char ids) — the char one-hot is
+    materialized per batch ON DEVICE (a [B,L,71] take of the identity),
+    never stored;
+  * a jitted gather turns an index vector into the model-ready float
+    batch; dequantization and one-hot fuse into the step's first convs.
+
+MIMIC at 128px uint8 is ~2.1 GB for 65k studies × 2 views — comfortably
+inside a v5e's 16 GB HBM next to the ~50M-param model. ``fits()``
+pre-checks the budget. Multi-chip: the store is replicated over the mesh
+and the gathered batch is emitted sharded along the data axis
+(out_shardings), so the per-step program is identical to the streaming
+path's.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mopoe_mimic_tpu.config import MopoeConfig
+from mopoe_mimic_tpu.data.alphabet import ALPHABET
+from mopoe_mimic_tpu.utils.logger import log
+
+
+def _compact_images(col: np.ndarray) -> Tuple[np.ndarray, bool]:
+    """HWC image column → (uint8 array, was_quantized)."""
+    arr = np.asarray(col)
+    if arr.dtype == np.uint8:
+        return arr, False
+    return np.round(np.clip(arr, 0.0, 1.0) * 255.0).astype(np.uint8), True
+
+
+class DeviceStore:
+    """Upload a dataset's columns to device once; gather batches there.
+
+    Parameters
+    ----------
+    dataset: any dataset with ``arrays`` column views and ``labels``
+        (MimicDataset, SyntheticMimic). Columns are fetched once via
+        fancy indexing over the full index range.
+    cfg: supplies text encoding / sequence shape.
+    mesh: optional — replicate the store over it and emit batches sharded
+        along the data axis.
+    quantize_uint8: store float images as uint8 (default; see module
+        docstring). False keeps float32 (exact, 4× the HBM).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        cfg: MopoeConfig,
+        mesh=None,
+        quantize_uint8: bool = True,
+    ):
+        self.cfg = cfg
+        self.mesh = mesh
+        n = len(dataset)
+        idx_all = np.arange(n)
+        cols = dataset.arrays
+        host: Dict[str, np.ndarray] = {}
+        self._img_quantized: Dict[str, bool] = {}
+        for k, col in cols.items():
+            if k == "text":
+                host[k] = self._compact_text(dataset, col, idx_all)
+                continue
+            arr = np.ascontiguousarray(col[idx_all])
+            if quantize_uint8:
+                arr, q = _compact_images(arr)
+                self._img_quantized[k] = q
+            else:
+                arr = np.asarray(arr, np.float32)
+                self._img_quantized[k] = False
+            host[k] = arr
+
+        self.labels = np.asarray(dataset.labels)
+        self.nbytes = sum(a.nbytes for a in host.values())
+        log.info(
+            f"DeviceStore: {n} samples, "
+            f"{self.nbytes / 1e9:.2f} GB resident on device"
+        )
+        if mesh is not None:
+            from mopoe_mimic_tpu.parallel.mesh import replicated_sharding
+
+            put = lambda a: jax.device_put(a, replicated_sharding(mesh))  # noqa: E731
+        else:
+            put = jax.device_put
+        self._cols = {k: put(v) for k, v in host.items()}
+        self._gather = self._build_gather()
+
+    # ------------------------------------------------------------------
+
+    def _compact_text(self, dataset, col, idx_all) -> np.ndarray:
+        """Text column → id array ([N, L] int32 word ids / uint8 char ids)."""
+        cfg = self.cfg
+        if hasattr(dataset, "text_ids"):  # MimicDataset: encode ids directly
+            return dataset.text_ids(idx_all)
+        if cfg.text_encoding == "word":
+            return np.asarray(col[idx_all], np.int32)
+        # char without an ids accessor: argmax the one-hot column — the
+        # exact inverse for genuine one-hots (all real data); non-one-hot
+        # float fixtures (the unstructured synthetic) degrade to argmax
+        onehot = np.asarray(col[idx_all])
+        assert onehot.shape[-1] == len(ALPHABET), onehot.shape
+        return np.argmax(onehot, axis=-1).astype(np.uint8)
+
+    def _build_gather(self):
+        cfg = self.cfg
+        img_q = dict(self._img_quantized)
+        char_mode = cfg.text_encoding == "char"
+        n_alpha = len(ALPHABET)
+
+        def gather(cols, idx):
+            batch = {}
+            for k, col in cols.items():
+                rows = jnp.take(col, idx, axis=0)
+                if k == "text":
+                    if char_mode:
+                        rows = jax.nn.one_hot(
+                            rows.astype(jnp.int32), n_alpha, dtype=jnp.float32
+                        )
+                    else:
+                        rows = rows.astype(jnp.int32)
+                elif rows.dtype == jnp.uint8:
+                    rows = rows.astype(jnp.float32) / 255.0
+                batch[k] = rows
+            return batch
+
+        if self.mesh is not None:
+            from mopoe_mimic_tpu.parallel.mesh import batch_sharding
+
+            out = batch_sharding(self.mesh)
+            return jax.jit(
+                gather, out_shardings={k: out for k in self._cols}
+            )
+        return jax.jit(gather)
+
+    # ------------------------------------------------------------------
+
+    def __len__(self) -> int:
+        return len(self.labels)
+
+    def gather(self, idx: np.ndarray):
+        """Index vector → model-ready device batch (floats/int ids)."""
+        return self._gather(self._cols, jnp.asarray(idx, jnp.int32))
+
+    def iter_epoch(
+        self,
+        epoch: int,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+    ) -> Iterator[Tuple[Dict[str, jnp.ndarray], np.ndarray]]:
+        """Yields (device batch, host labels) like BatchLoader, but the
+        only per-step upload is the [B] index vector."""
+        n = len(self)
+        rng = np.random.default_rng((seed, epoch))
+        order = rng.permutation(n) if shuffle else np.arange(n)
+        nb = n // batch_size if drop_last else -(-n // batch_size)
+        for b in range(nb):
+            idx = order[b * batch_size : (b + 1) * batch_size]
+            yield self.gather(idx), self.labels[idx]
+
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def fits(dataset, cfg: MopoeConfig, budget_bytes: int = 12 << 30) -> bool:
+        """Cheap pre-check: compact store size against an HBM budget
+        (default 12 GB ≈ v5e 16 GB minus model/optimizer/activations)."""
+        n = len(dataset)
+        per = 0
+        sample, _ = dataset[0]
+        for k, v in sample.items():
+            v = np.asarray(v)
+            if k == "text":
+                L = v.shape[0]
+                per += L * (4 if cfg.text_encoding == "word" else 1)
+            else:
+                per += int(np.prod(v.shape))  # uint8
+        return n * per <= budget_bytes

@@ -30,6 +30,22 @@ def one_hot_encode(len_seq: int, seq: str, alphabet: str = ALPHABET) -> np.ndarr
     return x
 
 
+def char_ids_encode(len_seq: int, seq: str, alphabet: str = ALPHABET) -> np.ndarray:
+    """[len_seq] uint8 alphabet ids — exactly argmax(one_hot_encode(...)):
+    same truncate / '$' EOS / '&' pad / '@' unknown semantics, 71× smaller
+    (the compact form DeviceStore parks in HBM and one-hots on device)."""
+    if len(seq) > len_seq:
+        seq = seq[:len_seq]
+    elif len(seq) < len_seq:
+        seq = (seq + EOS_CHAR).ljust(len_seq, PAD_CHAR)
+    unk = alphabet.index(UNK_CHAR)
+    out = np.empty((len_seq,), dtype=np.uint8)
+    for i, ch in enumerate(seq):
+        j = alphabet.find(ch)
+        out[i] = j if j != -1 else unk
+    return out
+
+
 def char_indices_to_text(indices: Sequence[int], alphabet: str = ALPHABET) -> str:
     return "".join(alphabet[int(i)] for i in indices)
 

@@ -1,0 +1,127 @@
+"""Device-resident dataset (data/device_store.py): gather parity with the
+host loader, on-device one-hot/dequant contracts, epoch iteration."""
+
+import jax
+import numpy as np
+import pytest
+
+from mopoe_mimic_tpu.config import MopoeConfig
+from mopoe_mimic_tpu.data.device_store import DeviceStore
+from mopoe_mimic_tpu.data.loader import BatchLoader
+from mopoe_mimic_tpu.data.synthetic import SyntheticMimic
+from mopoe_mimic_tpu.parallel.mesh import make_mesh
+
+
+def _cfg(**kw):
+    base = dict(
+        method="joint_elbo", dataset="testing", batch_size=8, class_dim=4,
+        DIM_img=2, DIM_text=2, img_size=64, text_encoding="word",
+        vocab_size=40, compute_dtype="float32",
+    )
+    base.update(kw)
+    return MopoeConfig(**base)
+
+
+@pytest.mark.parametrize("encoding", ["word", "char"])
+def test_gather_matches_host_loader(encoding):
+    cfg = _cfg(text_encoding=encoding)
+    # char compaction is argmax of the one-hot → use the structured fixture
+    # (true one-hots); the unstructured one emits uniform floats there
+    ds = SyntheticMimic(cfg, seed=0, length=16, structured=(encoding == "char"))
+    store = DeviceStore(ds, cfg)
+    idx = np.array([3, 0, 7, 12])
+    got = jax.device_get(store.gather(idx))
+
+    cols = ds.arrays
+    want = {k: np.asarray(v[idx]) for k, v in cols.items()}
+    # word: ids pass through; char: on-device one-hot of stored ids
+    np.testing.assert_array_equal(got["text"], want["text"])
+    # images round-trip through uint8 (≤1/510 quantization)
+    assert np.abs(got["PA"] - want["PA"]).max() <= 0.5 / 255 + 1e-7
+    assert got["PA"].dtype == np.float32
+
+
+def test_gather_sharded_over_mesh():
+    cfg = _cfg()
+    mesh = make_mesh(cfg)
+    ds = SyntheticMimic(cfg, seed=0, length=16)
+    store = DeviceStore(ds, cfg, mesh=mesh)
+    batch = store.gather(np.arange(8))
+    assert batch["PA"].sharding.spec[0] == cfg.data_axis
+
+
+def test_iter_epoch_covers_and_reshuffles():
+    cfg = _cfg()
+    ds = SyntheticMimic(cfg, seed=0, length=24)
+    store = DeviceStore(ds, cfg)
+    seen = []
+    labels_by_step = []
+    for batch, labels in store.iter_epoch(0, 8, seed=5):
+        assert batch["PA"].shape[0] == 8
+        labels_by_step.append(labels)
+        seen.append(labels.tobytes())
+    assert len(labels_by_step) == 3  # 24 / 8, drop_last
+    other = [lab.tobytes() for _, lab in store.iter_epoch(1, 8, seed=5)]
+    assert seen != other  # per-epoch reshuffle
+    again = [lab.tobytes() for _, lab in store.iter_epoch(0, 8, seed=5)]
+    assert seen == again  # deterministic per (seed, epoch)
+
+
+def test_train_step_runs_from_store():
+    cfg = _cfg()
+    ds = SyntheticMimic(cfg, seed=0, length=16)
+    store = DeviceStore(ds, cfg)
+    from mopoe_mimic_tpu.train import create_train_state, make_train_step
+
+    batch, _ = next(store.iter_epoch(0, cfg.batch_size))
+    state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    step = make_train_step(cfg)
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_fits_budget():
+    cfg = _cfg()
+    ds = SyntheticMimic(cfg, seed=0, length=16)
+    assert DeviceStore.fits(ds, cfg)
+    assert not DeviceStore.fits(ds, cfg, budget_bytes=100)
+
+
+def test_mimic_text_ids_matches_onehot(tmp_path):
+    """MimicDataset.text_ids (char) == argmax of the one-hot column."""
+    from tests.test_real_data_path import _make_fake_mimic_tree
+    from mopoe_mimic_tpu.data.mimic_dataset import MimicDataset
+    from mopoe_mimic_tpu.data.tensor_builder import TensorDatasetBuilder
+
+    _make_fake_mimic_tree(tmp_path)
+    TensorDatasetBuilder(str(tmp_path), str(tmp_path / "out"), img_size=64)()
+    cfg = _cfg(dataset="Mimic", dir_data=str(tmp_path / "out"),
+               text_encoding="char")
+    ds = MimicDataset(cfg, "train")
+    idx = np.arange(len(ds))
+    ids = ds.text_ids(idx)
+    assert ids.dtype == np.uint8
+    onehot = ds.arrays["text"][idx]
+    np.testing.assert_array_equal(ids, np.argmax(onehot, axis=-1))
+
+    # DeviceStore over the real dataset prefers the ids path
+    store = DeviceStore(ds, cfg)
+    got = jax.device_get(store.gather(np.array([0, 1])))
+    np.testing.assert_array_equal(got["text"], np.asarray(onehot[np.array([0, 1])]))
+
+
+def test_run_epochs_with_device_resident_data(tmp_path):
+    """End-to-end loop integration: cfg.device_resident_data trains from
+    the HBM store (train + test passes) and produces finite losses."""
+    from mopoe_mimic_tpu.experiment import Experiment
+    from mopoe_mimic_tpu.train.loop import run_epochs
+
+    cfg = _cfg(
+        dataset="testing", device_resident_data=True, batch_size=8,
+        end_epoch=2, steps_per_training_epoch=2, eval_freq=100,
+        dir_experiment=str(tmp_path),
+    )
+    exp = Experiment(cfg)
+    out = run_epochs(exp)
+    assert out["epochs_run"] == 2
+    assert np.isfinite(float(out["test"]["total_loss"]))
