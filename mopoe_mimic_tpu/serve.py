@@ -1,0 +1,242 @@
+"""Production inference: load a trained run and serve jitted encode /
+generate / conditional-generation with batch-size bucketing.
+
+No reference counterpart — the reference stops at offline eval
+(mimic/main_mimic.py trains; there is no deployment entry point). This is
+the serving surface of the framework:
+
+  * a run directory (``config.json`` + orbax ``checkpoints/``, as written
+    by Experiment) fully describes a deployable model;
+  * every request path is one jitted XLA program per (function, bucket) —
+    requests are padded up to the nearest static bucket size, so
+    steady-state traffic never recompiles and shapes stay MXU-friendly;
+  * weights restore from the BEST checkpoint by test loss when metrics
+    were recorded (utils/checkpoints.CheckpointManager), else the latest.
+
+CLI:
+    python -m mopoe_mimic_tpu.serve --run_dir DIR --mode generate \
+        --num_samples 16 --out OUT_DIR
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mopoe_mimic_tpu.config import MopoeConfig
+from mopoe_mimic_tpu.models.mmvae import MMVae
+from mopoe_mimic_tpu.train.state import create_train_state
+from mopoe_mimic_tpu.utils.logger import log
+
+DEFAULT_BUCKETS = (1, 8, 32, 128)
+
+
+def _pad_rows(arr: np.ndarray, n: int) -> np.ndarray:
+    if len(arr) == n:
+        return arr
+    pad = np.repeat(arr[-1:], n - len(arr), axis=0)
+    return np.concatenate([arr, pad], axis=0)
+
+
+class InferenceSession:
+    """Checkpoint → jitted inference endpoints.
+
+    Parameters
+    ----------
+    run_dir: an Experiment run directory (reads ``config.json`` and
+        ``checkpoints/``). Alternatively pass ``cfg`` plus
+        ``checkpoint_dir`` (or a live ``state`` for in-process use).
+    epoch: restore a specific epoch; default = best by test loss,
+        falling back to latest.
+    buckets: allowed static batch sizes; requests pad up to the nearest.
+    """
+
+    def __init__(
+        self,
+        run_dir: Optional[str] = None,
+        cfg: Optional[MopoeConfig] = None,
+        checkpoint_dir: Optional[str] = None,
+        state=None,
+        epoch: Optional[int] = None,
+        buckets: Sequence[int] = DEFAULT_BUCKETS,
+    ):
+        if cfg is None:
+            if run_dir is None:
+                raise ValueError("need run_dir or cfg")
+            with open(os.path.join(run_dir, "config.json")) as f:
+                raw = json.load(f)
+            known = {f.name for f in MopoeConfig.__dataclass_fields__.values()}  # type: ignore[attr-defined]
+            cfg = MopoeConfig(**{k: v for k, v in raw.items() if k in known})
+        self.cfg = cfg
+        self.model = MMVae(cfg)
+        self.buckets = tuple(sorted(buckets))
+        self._jitted: Dict[Tuple[str, int], Any] = {}
+
+        if state is None:
+            if checkpoint_dir is None:
+                if run_dir is None:
+                    raise ValueError("need checkpoint_dir, run_dir, or state")
+                checkpoint_dir = os.path.join(run_dir, "checkpoints")
+            from mopoe_mimic_tpu.data.loader import BatchLoader
+            from mopoe_mimic_tpu.data.synthetic import SyntheticMimic
+            from mopoe_mimic_tpu.utils.checkpoints import CheckpointManager
+
+            tiny = cfg.replace(batch_size=max(self.buckets[0], 2))
+            template_batch, _ = next(iter(BatchLoader(
+                SyntheticMimic(tiny, seed=0), tiny.batch_size, shuffle=False)))
+            template = create_train_state(
+                cfg, jax.random.PRNGKey(0), template_batch, model=self.model)
+            mgr = CheckpointManager(checkpoint_dir)
+            restore_epoch = epoch
+            if restore_epoch is None:
+                restore_epoch = mgr.best_epoch()
+                if restore_epoch is None:
+                    restore_epoch = mgr.latest_epoch()
+            self.epoch, state = mgr.restore(template, epoch=restore_epoch)
+            mgr.close()
+            log.info(f"serving epoch {self.epoch} from {checkpoint_dir}")
+        else:
+            self.epoch = -1
+        self.params = state.params
+        self.batch_stats = state.batch_stats
+
+    # ------------------------------------------------------------------
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def _chunks(self, n: int):
+        """Split a request of n rows into bucket-sized chunks."""
+        done = 0
+        while done < n:
+            take = min(n - done, self.buckets[-1])
+            yield done, take, self._bucket(take)
+            done += take
+
+    def _fn(self, kind: str, n: int):
+        key = (kind, n)
+        if key not in self._jitted:
+            model = self.model
+
+            if kind == "generate":
+                def go(params, stats, r):
+                    return model.apply(
+                        {"params": params, "batch_stats": stats}, n,
+                        train=False, rngs={"reparam": r},
+                        method=lambda m, k, train: m.generate(k, train=train),
+                    )
+            elif kind == "encode":
+                def go(params, stats, batch):
+                    def m_enc(m, b, train):
+                        lat = m.inference(b, train=train)
+                        return {"subsets": lat["subsets"], "joint": lat["joint"]}
+
+                    return model.apply(
+                        {"params": params, "batch_stats": stats}, batch,
+                        train=False, rngs={"reparam": jax.random.PRNGKey(0)},
+                        method=m_enc,
+                    )
+            elif kind == "cond_generate":
+                def go(params, stats, batch, r):
+                    def m_cond(m, b, train):
+                        lat = m.inference(b, train=train)
+                        return m.cond_generation(lat["subsets"], train=train)
+
+                    return model.apply(
+                        {"params": params, "batch_stats": stats}, batch,
+                        train=False, rngs={"reparam": r}, method=m_cond,
+                    )
+            else:
+                raise ValueError(kind)
+            self._jitted[key] = jax.jit(go)
+        return self._jitted[key]
+
+    # ------------------------------------------------------------------
+    # endpoints
+    # ------------------------------------------------------------------
+
+    def generate(self, num_samples: int, seed: int = 0) -> Dict[str, np.ndarray]:
+        """Unconditional samples from the prior: modality → array."""
+        rng = jax.random.PRNGKey(seed)
+        outs = []
+        for _start, take, bucket in self._chunks(num_samples):
+            rng, r = jax.random.split(rng)
+            full = jax.device_get(self._fn("generate", bucket)(
+                self.params, self.batch_stats, r))
+            outs.append({m: v[:take] for m, v in full.items()})
+        return {m: np.concatenate([o[m] for o in outs]) for m in outs[0]}
+
+    def encode(self, batch: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+        """Posterior parameters: {'subsets': {key: (mu, logvar)},
+        'joint': (mu, logvar)} for every modality subset."""
+        n = len(next(iter(batch.values())))
+        merged: Optional[Dict[str, Any]] = None
+        for start, take, bucket in self._chunks(n):
+            padded = {k: _pad_rows(np.asarray(v)[start:start + take], bucket)
+                      for k, v in batch.items()}
+            out = jax.device_get(self._fn("encode", bucket)(
+                self.params, self.batch_stats, padded))
+            out = jax.tree_util.tree_map(lambda a: a[:take], out)
+            merged = out if merged is None else jax.tree_util.tree_map(
+                lambda a, b: np.concatenate([a, b]), merged, out)
+        return merged
+
+    def cond_generate(
+        self, batch: Mapping[str, np.ndarray], seed: int = 0
+    ) -> Dict[str, Dict[str, np.ndarray]]:
+        """Conditional generation from every subset posterior of the given
+        (full-modality) batch: subset_key → modality → array."""
+        n = len(next(iter(batch.values())))
+        rng = jax.random.PRNGKey(seed)
+        merged: Optional[Dict[str, Any]] = None
+        for start, take, bucket in self._chunks(n):
+            rng, r = jax.random.split(rng)
+            padded = {k: _pad_rows(np.asarray(v)[start:start + take], bucket)
+                      for k, v in batch.items()}
+            out = jax.device_get(self._fn("cond_generate", bucket)(
+                self.params, self.batch_stats, padded, r))
+            out = jax.tree_util.tree_map(lambda a: a[:take], out)
+            merged = out if merged is None else jax.tree_util.tree_map(
+                lambda a, b: np.concatenate([a, b]), merged, out)
+        return merged
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--run_dir", required=True)
+    ap.add_argument("--mode", choices=("generate",), default="generate")
+    ap.add_argument("--num_samples", type=int, default=16)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--epoch", type=int, default=None)
+    ap.add_argument("--out", default=None, help="output dir (default: run_dir/serving)")
+    args = ap.parse_args(argv)
+
+    sess = InferenceSession(run_dir=args.run_dir, epoch=args.epoch)
+    out_dir = args.out or os.path.join(args.run_dir, "serving")
+    os.makedirs(out_dir, exist_ok=True)
+    samples = sess.generate(args.num_samples, seed=args.seed)
+    from mopoe_mimic_tpu.utils.save_samples import write_samples_img_to_file
+
+    for m, data in samples.items():
+        if m == "text":
+            np.save(os.path.join(out_dir, "text_probs.npy"), data)
+        else:
+            write_samples_img_to_file(data, os.path.join(out_dir, f"{m}.png"))
+    log.info(f"wrote {args.num_samples} samples to {out_dir}")
+
+
+if __name__ == "__main__":
+    main()
