@@ -71,6 +71,12 @@ class DeviceStore:
     ):
         self.cfg = cfg
         self.mesh = mesh
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "DeviceStore is single-host (the store is replicated over "
+                "local devices); multi-host training should stream via "
+                "BatchLoader's per-host shards + prefetch_to_device"
+            )
         n = len(dataset)
         idx_all = np.arange(n)
         cols = dataset.arrays

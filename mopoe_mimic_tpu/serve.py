@@ -210,6 +210,58 @@ class InferenceSession:
         return merged
 
 
+    # ------------------------------------------------------------------
+    # raw-input helpers (production ergonomics; the codecs the training
+    # pipeline uses, exposed on the session)
+    # ------------------------------------------------------------------
+
+    def text_array(self, reports: Sequence[str]) -> np.ndarray:
+        """Raw report strings → the model's text input array (word ids via
+        the persisted vocabulary under cfg.dir_data, or char one-hots)."""
+        cfg = self.cfg
+        if cfg.text_encoding == "word":
+            from mopoe_mimic_tpu.data.vocab import Vocab
+
+            base = os.path.join(
+                os.path.expanduser(cfg.dir_data), f"files_small_{cfg.img_size}"
+            )
+            vocab = Vocab.load(base, cfg.word_min_occ, cfg.len_sequence)
+            if vocab is None:
+                raise FileNotFoundError(
+                    f"no persisted vocabulary under {base}; serve word-mode "
+                    "models next to their training data"
+                )
+            return np.stack([
+                vocab.encode(str(t), cfg.len_sequence) for t in reports
+            ]).astype(np.int32)
+        from mopoe_mimic_tpu.data.text_codec import one_hot_encode
+
+        return np.stack([
+            one_hot_encode(cfg.len_sequence, str(t).lower()) for t in reports
+        ])
+
+    def decode_text(self, probs: np.ndarray, i2w=None) -> list:
+        """Generated text probabilities → strings (char) or token lists
+        (word; needs the vocab's i2w unless provided)."""
+        from mopoe_mimic_tpu.data.text_codec import tensor_to_text
+
+        cfg = self.cfg
+        if cfg.text_encoding == "char":
+            rows = tensor_to_text(np.asarray(probs), one_hot=True)
+            return ["".join(r) for r in rows]
+        if i2w is None:
+            from mopoe_mimic_tpu.data.vocab import Vocab
+
+            base = os.path.join(
+                os.path.expanduser(cfg.dir_data), f"files_small_{cfg.img_size}"
+            )
+            vocab = Vocab.load(base, cfg.word_min_occ, cfg.len_sequence)
+            if vocab is None:
+                raise FileNotFoundError("word-mode decode needs the vocab (i2w)")
+            i2w = vocab.i2w
+        return tensor_to_text(np.asarray(probs), one_hot=True, i2w=i2w)
+
+
 # ---------------------------------------------------------------------------
 # CLI
 # ---------------------------------------------------------------------------

@@ -14,11 +14,13 @@ from mopoe_mimic_tpu.train.state import create_train_state
 
 
 def _cfg(**kw):
-    return MopoeConfig(
+    base = dict(
         method="joint_elbo", dataset="testing", batch_size=4, class_dim=4,
         DIM_img=2, DIM_text=2, img_size=64, text_encoding="word",
-        vocab_size=30, compute_dtype="float32", **kw,
+        vocab_size=30, compute_dtype="float32",
     )
+    base.update(kw)
+    return MopoeConfig(**base)
 
 
 @pytest.fixture(scope="module")
@@ -90,3 +92,51 @@ def test_session_restores_from_checkpoint(tmp_path, session):
     a = restored.generate(2, seed=0)
     b = sess.generate(2, seed=0)
     np.testing.assert_allclose(a["PA"], b["PA"], atol=1e-6)
+
+
+@pytest.mark.slow
+def test_serve_cli_end_to_end(tmp_path):
+    """Train a tiny run with checkpoints, then drive the serve CLI on the
+    run directory: restores weights and writes sample artifacts."""
+    import os
+
+    from mopoe_mimic_tpu import serve
+    from mopoe_mimic_tpu.experiment import Experiment
+    from mopoe_mimic_tpu.train.loop import run_epochs
+
+    cfg = _cfg(
+        end_epoch=1, steps_per_training_epoch=2, eval_freq=100,
+        dir_experiment=str(tmp_path), checkpoint_freq=1, batch_size=8,
+    )
+    exp = Experiment(cfg)
+    run_epochs(exp)
+    run_dir = exp.paths["experiment_run"]
+    assert os.path.exists(os.path.join(run_dir, "config.json"))
+
+    serve.main([
+        "--run_dir", run_dir, "--num_samples", "4",
+        "--out", str(tmp_path / "samples"),
+    ])
+    wrote = os.listdir(tmp_path / "samples")
+    assert "text_probs.npy" in wrote
+    assert any(f.startswith("PA.") for f in wrote)
+
+
+def test_text_array_and_decode_char(session):
+    sess, _ = session
+    char_sess = InferenceSession(
+        cfg=sess.cfg.replace(text_encoding="char"), state=_char_state(),
+        buckets=(2,),
+    )
+    arr = char_sess.text_array(["no acute findings", "clear lungs"])
+    assert arr.shape == (2, 1024, 71)
+    decoded = char_sess.decode_text(arr)
+    assert decoded[0].startswith("no acute findings$")  # EOS then padding
+    assert decoded[1].startswith("clear lungs$")
+
+
+def _char_state():
+    cfg = _cfg(text_encoding="char")
+    ds = SyntheticMimic(cfg, seed=0)
+    batch, _ = next(iter(BatchLoader(ds, cfg.batch_size, shuffle=False)))
+    return create_train_state(cfg, jax.random.PRNGKey(0), batch)
