@@ -170,6 +170,11 @@ def main():
     ap.add_argument("--platform", default=None,
                     help="force jax platform (e.g. cpu) — the env var is "
                     "overridden by the axon sitecustomize")
+    ap.add_argument("--device-store", action="store_true",
+                    help="train from the HBM-resident dataset "
+                    "(cfg.device_resident_data) instead of streaming")
+    ap.add_argument("--epochs", type=int, default=0,
+                    help="override end_epoch (0 = preset default)")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -179,6 +184,10 @@ def main():
     from mopoe_mimic_tpu.train.loop import run_epochs
 
     cfg = make_cfg(args.preset, args.workdir)
+    if args.device_store:
+        cfg = cfg.replace(device_resident_data=True)
+    if args.epochs:
+        cfg = cfg.replace(end_epoch=args.epochs)
     exp = Experiment(cfg)
     t0 = time.time()
     print(f"[long_run_r2] preset={args.preset} run={exp.name}", flush=True)
