@@ -147,6 +147,12 @@ class MopoeConfig:
     text_clf_type: str = "word"
     img_clf_type: str = "resnet"  # resnet | densenet
     clf_loss: str = "binary_crossentropy"
+    # early-stop patience for the classifier workload, DECOUPLED from the
+    # VAE's max_early_stopping_index (the reference trains classifiers as a
+    # separate CLI with its own flags): a VAE run that disables its own
+    # early stop (e.g. patience 1000 to record a full trajectory) must not
+    # silently force coherence classifiers to train max_epochs each.
+    clf_early_stop_patience: int = 5
     # Five/TenCrop(224) for the densenet classifier path (reference
     # flags.n_crops; crop-mean at main_train_clf_mimic.py:67-72): 1 | 5 | 10
     n_crops: int = 1

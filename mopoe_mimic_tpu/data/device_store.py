@@ -68,6 +68,7 @@ class DeviceStore:
         cfg: MopoeConfig,
         mesh=None,
         quantize_uint8: bool = True,
+        columns: Optional[Tuple[str, ...]] = None,
     ):
         self.cfg = cfg
         self.mesh = mesh
@@ -80,6 +81,8 @@ class DeviceStore:
         n = len(dataset)
         idx_all = np.arange(n)
         cols = dataset.arrays
+        if columns is not None:  # e.g. a single modality for clf training
+            cols = {k: v for k, v in cols.items() if k in columns}
         host: Dict[str, np.ndarray] = {}
         self._img_quantized: Dict[str, bool] = {}
         for k, col in cols.items():

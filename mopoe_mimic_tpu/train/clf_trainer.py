@@ -112,6 +112,19 @@ def train_classifier(
     loss_fn = clf_loss_fn(cfg.clf_loss)
     tx = optax.adam(cfg.initial_learning_rate, b1=cfg.beta_1, b2=cfg.beta_2)
 
+    # device-resident single-modality store (cfg.device_resident_data):
+    # classifier training is otherwise bounded by per-step host transfer,
+    # exactly like the VAE loop. The densenet crop path preps on host.
+    use_store = cfg.device_resident_data and (
+        modality == "text" or cfg.img_clf_type != "densenet"
+    )
+    store_tr = store_ev = None
+    if use_store:
+        from mopoe_mimic_tpu.data.device_store import DeviceStore
+
+        store_tr = DeviceStore(dataset_train, cfg, columns=(modality,))
+        store_ev = DeviceStore(dataset_eval, cfg, columns=(modality,))
+
     loader = BatchLoader(dataset_train, cfg.batch_size, shuffle=True, seed=cfg.seed or 0)
     eval_loader = BatchLoader(dataset_eval, cfg.batch_size, shuffle=False)
     x0, _ = next(iter(loader))
@@ -155,19 +168,29 @@ def train_classifier(
 
     labels = [f"l{i}" for i in range(n_labels)]
     best_metric, best_state, best_results = -math.inf, state, {}
-    patience = early_stop_patience if early_stop_patience is not None else cfg.max_early_stopping_index
+    patience = early_stop_patience if early_stop_patience is not None else cfg.clf_early_stop_patience
     bad = 0
     steps_cap = cfg.steps_per_training_epoch if cfg.steps_per_training_epoch > 0 else None
     for epoch in range(max_epochs):
         loader.set_epoch(epoch)
-        for i, (batch, y) in enumerate(loader):
+        train_iter = (
+            store_tr.iter_epoch(epoch, cfg.batch_size, seed=cfg.seed or 0)
+            if store_tr is not None else iter(loader)
+        )
+        for i, (batch, y) in enumerate(train_iter):
             if steps_cap and i >= steps_cap:
                 break
-            state, loss = train_step(state, prep(batch[modality]), y)
+            x = batch[modality] if store_tr is not None else prep(batch[modality])
+            state, loss = train_step(state, x, y)
         # eval: mean AP (early-stop target, classifiers/utils.py:130-203)
         preds, gts = [], []
-        for batch, y in eval_loader:
-            preds.append(np.asarray(predict(state, prep(batch[modality]))))
+        eval_iter = (
+            store_ev.iter_epoch(0, cfg.batch_size, shuffle=False)
+            if store_ev is not None else iter(eval_loader)
+        )
+        for batch, y in eval_iter:
+            x = batch[modality] if store_ev is not None else prep(batch[modality])
+            preds.append(np.asarray(predict(state, x)))
             gts.append(y)
         m = Metrics(np.concatenate(preds), np.concatenate(gts), labels)
         results = {k: v[0] for k, v in m.evaluate().items()}

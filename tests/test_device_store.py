@@ -125,3 +125,16 @@ def test_run_epochs_with_device_resident_data(tmp_path):
     out = run_epochs(exp)
     assert out["epochs_run"] == 2
     assert np.isfinite(float(out["test"]["total_loss"]))
+
+
+def test_clf_trainer_uses_device_store():
+    """cfg.device_resident_data routes classifier training through the
+    single-modality HBM store and still learns/evaluates."""
+    from mopoe_mimic_tpu.train.clf_trainer import train_classifier
+
+    cfg = _cfg(device_resident_data=True, steps_per_training_epoch=2)
+    ds_tr = SyntheticMimic(cfg, seed=0, length=16)
+    ds_ev = SyntheticMimic(cfg, seed=1, length=8)
+    state, results = train_classifier(
+        cfg, "PA", ds_tr, ds_ev, n_labels=3, max_epochs=2, write_df=False)
+    assert "accuracy" in results or "dice" in results
