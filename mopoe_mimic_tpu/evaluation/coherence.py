@@ -87,7 +87,7 @@ def test_generation(exp, state, evaluator: CoherenceEvaluator, max_batches: int 
     coherence.py:226-293)."""
     cfg = exp.cfg
     model = exp.model
-    _, test_loader = exp.make_loaders()
+    test_loader = exp.eval_batches("test")  # device-resident when enabled
     rng = jax.random.PRNGKey((cfg.seed or 0) + 47)
 
     @jax.jit

@@ -21,6 +21,13 @@ from mopoe_mimic_tpu.utils.logger import log
 
 
 def make_default_embedder(exp, quick_epochs: int = 1) -> Callable[[np.ndarray], np.ndarray]:
+    """The embedder is a fixed feature extractor over the DATASET (real
+    images + labels), independent of the VAE state — cached on the
+    experiment so repeated eval rounds reuse one embedder instead of
+    retraining the ClfImg trunk every calc_prd call."""
+    cached = getattr(exp, "_fid_embedder", None)
+    if cached is not None:
+        return cached
     cfg = exp.cfg
     # preferred: real FID InceptionV3 when its weights are available
     # (inception.py:13 parity)
@@ -29,6 +36,7 @@ def make_default_embedder(exp, quick_epochs: int = 1) -> Callable[[np.ndarray], 
 
         embed = load_inception_embedder(cfg.inception_state_dict, cfg.batch_size)
         log.info(f"FID embedder: InceptionV3 ({cfg.inception_state_dict})")
+        exp._fid_embedder = embed
         return embed
     except FileNotFoundError:
         log.info(
@@ -64,4 +72,5 @@ def make_default_embedder(exp, quick_epochs: int = 1) -> Callable[[np.ndarray], 
                 out.append(np.asarray(probs(chunk)))
         return np.concatenate(out)
 
+    exp._fid_embedder = embed
     return embed

@@ -118,7 +118,7 @@ def estimate_likelihoods(exp, state, mesh=None, max_batches: int = 0) -> Dict[st
     """Per-subset IWAE estimates averaged over the test set
     (estimate_likelihoods, likelihood.py:94-129)."""
     cfg = exp.cfg
-    _, test_loader = exp.make_loaders()
+    test_loader = exp.eval_batches("test")  # device-resident when enabled
     rng = jax.random.PRNGKey((cfg.seed or 0) + 31)
     fns = {
         s_key: make_subset_likelihood_fn(cfg, exp.model, s_key)

@@ -153,7 +153,7 @@ class LatentClassifier:
 
 def train_clf_lr_all_subsets(exp, state, mesh=None) -> LatentClassifier:
     cfg = exp.cfg
-    train_loader, _ = exp.make_loaders()
+    train_loader = exp.eval_batches("train")  # device-resident when enabled
     data, labels = collect_subset_means(
         exp, state, train_loader, max_samples=max(cfg.num_training_samples_lr * 2,
                                                   cfg.batch_size), mesh=mesh
@@ -176,7 +176,7 @@ def train_clf_lr_all_subsets(exp, state, mesh=None) -> LatentClassifier:
 
 def test_clf_lr_all_subsets(exp, state, clf: LatentClassifier, mesh=None) -> Dict[str, Dict[str, float]]:
     cfg = exp.cfg
-    _, test_loader = exp.make_loaders()
+    test_loader = exp.eval_batches("test")
     data, labels = collect_subset_means(
         exp, state, test_loader, max_samples=len(exp.dataset_test), mesh=mesh
     )

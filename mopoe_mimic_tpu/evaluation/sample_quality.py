@@ -133,7 +133,7 @@ def calc_prd_score(
 
     cfg = exp.cfg
     model = exp.model
-    _, test_loader = exp.make_loaders()
+    test_loader = exp.eval_batches("test")  # device-resident when enabled
     rng = jax.random.PRNGKey((cfg.seed or 0) + 61)
 
     @jax.jit

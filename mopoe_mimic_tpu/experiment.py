@@ -97,6 +97,42 @@ class Experiment:
         )
         return train_loader, test_loader
 
+    def stores(self, mesh=None):
+        """(train, test) DeviceStores when cfg.device_resident_data, else
+        None. Built once and shared between the training loop and every
+        eval — ONE upload of the dataset per process (the tunnel retains
+        host buffers per upload, BENCH.md environment caveat)."""
+        if not self.cfg.device_resident_data:
+            return None
+        if getattr(self, "_stores", None) is None:
+            from mopoe_mimic_tpu.data.device_store import DeviceStore
+
+            if self.cfg.weighted_sampler:
+                raise NotImplementedError(
+                    "device_resident_data does not support weighted_sampler; "
+                    "stream batches instead"
+                )
+            self._stores = (
+                DeviceStore(self.dataset_train, self.cfg, mesh=mesh),
+                DeviceStore(self.dataset_test, self.cfg, mesh=mesh),
+            )
+        return self._stores
+
+    def eval_batches(self, split: str = "test", epoch: int = 0):
+        """(batch, labels) iterator for the eval suite — device-resident
+        when enabled, else a fresh seeded loader with the same order
+        semantics as make_loaders (PARITY.md 'test loader state' row)."""
+        cfg = self.cfg
+        seed = (cfg.seed or 0) + (1 if split == "test" else 0)
+        st = self.stores()
+        if st is not None:
+            store = st[0] if split == "train" else st[1]
+            return store.iter_epoch(epoch, cfg.batch_size, shuffle=True, seed=seed)
+        train_loader, test_loader = self.make_loaders()
+        loader = train_loader if split == "train" else test_loader
+        loader.set_epoch(epoch)
+        return iter(loader)
+
     def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
         rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed or 0)
         batch, _ = next(iter(self.make_loaders()[0]))

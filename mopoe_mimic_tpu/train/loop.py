@@ -43,18 +43,11 @@ def run_epochs(
     train_loader, test_loader = exp.make_loaders()
 
     # device-resident data: park the compact store in HBM once; per-step
-    # input transfer collapses to the [B] index vector (data/device_store.py)
-    store_train = store_test = None
-    if cfg.device_resident_data:
-        from mopoe_mimic_tpu.data.device_store import DeviceStore
-
-        if cfg.weighted_sampler:
-            raise NotImplementedError(
-                "device_resident_data does not support weighted_sampler; "
-                "stream batches instead"
-            )
-        store_train = DeviceStore(exp.dataset_train, cfg, mesh=mesh)
-        store_test = DeviceStore(exp.dataset_test, cfg, mesh=mesh)
+    # input transfer collapses to the [B] index vector (data/device_store.py).
+    # The stores live on the Experiment so the eval suite reuses the same
+    # upload (exp.eval_batches).
+    stores = exp.stores(mesh)
+    store_train, store_test = stores if stores is not None else (None, None)
 
     state = state if state is not None else exp.init_state()
     start_epoch = cfg.start_epoch

@@ -138,3 +138,27 @@ def test_clf_trainer_uses_device_store():
     state, results = train_classifier(
         cfg, "PA", ds_tr, ds_ev, n_labels=3, max_epochs=2, write_df=False)
     assert "accuracy" in results or "dice" in results
+
+
+@pytest.mark.slow
+def test_eval_suite_runs_from_device_store(tmp_path):
+    """All four heavy evals consume exp.eval_batches from the HBM store."""
+    from mopoe_mimic_tpu.evaluation.runner import run_eval_suite
+    from mopoe_mimic_tpu.experiment import Experiment
+    from mopoe_mimic_tpu.train.loop import run_epochs
+
+    cfg = _cfg(
+        dataset="testing_structured", device_resident_data=True, batch_size=8,
+        end_epoch=1, steps_per_training_epoch=2, eval_freq=100,
+        synthetic_length=16, eval_lr=True, use_clf=True, calc_nll=True,
+        calc_prd=True, clf_quick_epochs=1, num_imp_samples=2,
+        eval_freq_fid=1, dir_experiment=str(tmp_path),
+        dir_clf=str(tmp_path / "clf"),
+    )
+    exp = Experiment(cfg)
+    out = run_epochs(exp)
+    results = run_eval_suite(exp, out["state"], epoch=0)
+    assert any(k.startswith("lr_eval") for k in results)
+    assert any(k.startswith("likelihoods") for k in results)
+    # the embedder is cached on the experiment after the PRD pass
+    assert getattr(exp, "_fid_embedder", None) is not None
