@@ -28,14 +28,15 @@ from mopoe_mimic_tpu.evaluation.metrics import eval_label_ap
 from mopoe_mimic_tpu.utils.logger import log
 
 
-def transform_gen_samples(cfg: MopoeConfig, modality: str, x: np.ndarray) -> np.ndarray:
+def transform_gen_samples(cfg: MopoeConfig, modality: str, x) -> np.ndarray:
     """Adapt generated samples to the classifier's input contract
     (transform_gen_samples, coherence.py:115-125): word-encoded text is
     generated as per-position vocab probabilities but the word classifier
-    consumes token ids → argmax."""
-    x = np.asarray(x)
+    consumes token ids → argmax. Device arrays stay on device (the
+    classifier predict fns are jitted) — only probabilities come home."""
     if modality == "text" and cfg.text_encoding == "word" and x.ndim == 3:
-        return np.argmax(x, axis=-1).astype(np.int32)
+        xp = jnp if isinstance(x, jax.Array) else np
+        return xp.argmax(x, axis=-1).astype(xp.int32)
     return x
 
 
@@ -116,11 +117,14 @@ def test_generation(exp, state, evaluator: CoherenceEvaluator, max_batches: int 
         if max_batches and i >= max_batches:
             break
         rng, r1, r2 = jax.random.split(rng, 3)
-        rand = jax.device_get(gen_random(state.params, state.batch_stats, r1))
+        # generated samples are classified ON DEVICE (the predict fns are
+        # jitted); only the [B, n_labels] probabilities are downloaded —
+        # never the 7×3 generated modality tensors themselves
+        rand = gen_random(state.params, state.batch_stats, r1)
         rand_coherences.append(
             evaluator.calculate_coherence(rand, exp.labels)
         )
-        cond = jax.device_get(cond_gen(state.params, state.batch_stats, batch, r2))
+        cond = cond_gen(state.params, state.batch_stats, batch, r2)
         cond_results.append(
             evaluator.classify_cond_gen(cond, np.nan_to_num(labels), exp.labels)
         )

@@ -152,30 +152,33 @@ def calc_prd_score(
                            method=lambda m, n, train: m.generate(n, train=train))
 
     img_mods = [m for m in cfg.modality_names if m != "text"]
-    real = {m: [] for m in img_mods}
-    gen_sets: Dict[str, Dict[str, list]] = {}
+    # embed per batch as samples are generated — device arrays flow
+    # straight into the (jitted) embedder, only the [B, D] activations
+    # come home. Non-finite samples from untrained eval-mode BN
+    # (docs/STABILITY.md) surface as non-finite activations; the
+    # nan_to_num on activations mirrors the reference's testing-mode
+    # sanitization (coherence.py:49-53).
+    real_acts_parts = {m: [] for m in img_mods}
+    gen_acts_parts: Dict[str, Dict[str, list]] = {}
     for i, (batch, _labels) in enumerate(test_loader):
         if max_batches and i >= max_batches:  # 0 → full test set
             break
         rng, r1, r2 = jax.random.split(rng, 3)
-        cond = jax.device_get(cond_gen(state.params, state.batch_stats, batch, r1))
-        rand = jax.device_get(rand_gen(state.params, state.batch_stats, r2))
-        cond["random"] = rand
+        cond = cond_gen(state.params, state.batch_stats, batch, r1)
+        cond = dict(cond)
+        cond["random"] = rand_gen(state.params, state.batch_stats, r2)
         for m in img_mods:
-            real[m].append(np.asarray(batch[m]))
+            real_acts_parts[m].append(np.nan_to_num(embed_fn(batch[m])))
         for s_key, gen in cond.items():
-            slot = gen_sets.setdefault(s_key, {m: [] for m in img_mods})
+            slot = gen_acts_parts.setdefault(s_key, {m: [] for m in img_mods})
             for m in img_mods:
-                slot[m].append(np.asarray(gen[m]))
+                slot[m].append(np.nan_to_num(embed_fn(gen[m])))
 
     results = {}
     for m in img_mods:
-        # untrained eval-mode BN can emit non-finite samples early in
-        # training (docs/STABILITY.md); sanitize like the reference's
-        # testing-mode nan_to_num (coherence.py:49-53)
-        real_acts = np.nan_to_num(embed_fn(np.concatenate(real[m])))
-        for s_key, gen in gen_sets.items():
-            gen_acts = np.nan_to_num(embed_fn(np.nan_to_num(np.concatenate(gen[m]))))
+        real_acts = np.concatenate(real_acts_parts[m])
+        for s_key, parts in gen_acts_parts.items():
+            gen_acts = np.concatenate(parts[m])
             results[f"prd_{m}_{s_key}"] = average_prd(gen_acts, real_acts)
             results[f"fid_{m}_{s_key}"] = calculate_fid(real_acts, gen_acts)
     return results
