@@ -115,3 +115,7 @@ def _prefetch_threaded(
             yield item
     finally:
         stop.set()
+        # let an in-flight device_put finish before the interpreter (or the
+        # caller's runtime state) tears down under the producer's feet; the
+        # bounded join cannot deadlock on a wedged transfer
+        thread.join(timeout=5.0)
