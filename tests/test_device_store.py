@@ -110,6 +110,7 @@ def test_mimic_text_ids_matches_onehot(tmp_path):
     np.testing.assert_array_equal(got["text"], np.asarray(onehot[np.array([0, 1])]))
 
 
+@pytest.mark.slow
 def test_run_epochs_with_device_resident_data(tmp_path):
     """End-to-end loop integration: cfg.device_resident_data trains from
     the HBM store (train + test passes) and produces finite losses."""

@@ -1,3 +1,4 @@
+import pytest
 """Factorized representation (style + content latents, the reference's
 --factorized_representation / style dims path,
 VAEtrimodalMimic.py:49-53, losses.py:34-51)."""
@@ -22,6 +23,7 @@ def _cfg():
     )
 
 
+@pytest.mark.slow
 def test_factorized_forward_and_train():
     cfg = _cfg()
     ds = SyntheticMimic(cfg, seed=0)

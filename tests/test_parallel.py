@@ -62,6 +62,7 @@ def test_sharded_train_step_multidevice():
     assert leaf.sharding.is_equivalent_to(replicated_sharding(mesh), ndim=leaf.ndim)
 
 
+@pytest.mark.slow
 def test_device_count_invariance_sync_bn():
     """The sharded step must produce the SAME loss as the single-device
     step on the same batch — GSPMD semantics are device-count-invariant,

@@ -27,6 +27,7 @@ def _cfg(tmp_path, **kw):
     return MopoeConfig(**base)
 
 
+@pytest.mark.slow
 def test_run_epochs_end_to_end(tmp_path):
     cfg = _cfg(tmp_path)
     exp = Experiment(cfg)
@@ -50,6 +51,7 @@ def test_run_epochs_end_to_end(tmp_path):
         assert os.path.isdir(exp.paths[key])
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_roundtrip(tmp_path):
     cfg = _cfg(tmp_path, end_epoch=1, checkpoint_freq=1)
     exp = Experiment(cfg)
