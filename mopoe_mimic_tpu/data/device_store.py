@@ -176,16 +176,32 @@ class DeviceStore:
         shuffle: bool = True,
         seed: int = 0,
         drop_last: bool = True,
+        weighted: bool = False,
     ) -> Iterator[Tuple[Dict[str, jnp.ndarray], np.ndarray]]:
         """Yields (device batch, host labels) like BatchLoader, but the
-        only per-step upload is the [B] index vector."""
+        only per-step upload is the [B] index vector. ``weighted`` draws
+        the epoch order with replacement by inverse label-combination
+        frequency — the WeightedRandomSampler analog (labels are host
+        arrays, so the weighted draw composes with the on-device gather)."""
         n = len(self)
         rng = np.random.default_rng((seed, epoch))
-        order = rng.permutation(n) if shuffle else np.arange(n)
+        if weighted:
+            order = rng.choice(n, size=n, replace=True, p=self._label_weights())
+        elif shuffle:
+            order = rng.permutation(n)
+        else:
+            order = np.arange(n)
         nb = n // batch_size if drop_last else -(-n // batch_size)
         for b in range(nb):
             idx = order[b * batch_size : (b + 1) * batch_size]
             yield self.gather(idx), self.labels[idx]
+
+    def _label_weights(self) -> np.ndarray:
+        if getattr(self, "_weights", None) is None:
+            from mopoe_mimic_tpu.data.loader import BatchLoader
+
+            self._weights = BatchLoader._label_weights(self.labels)
+        return self._weights
 
     # ------------------------------------------------------------------
 

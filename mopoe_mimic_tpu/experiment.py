@@ -107,11 +107,6 @@ class Experiment:
         if getattr(self, "_stores", None) is None:
             from mopoe_mimic_tpu.data.device_store import DeviceStore
 
-            if self.cfg.weighted_sampler:
-                raise NotImplementedError(
-                    "device_resident_data does not support weighted_sampler; "
-                    "stream batches instead"
-                )
             self._stores = (
                 DeviceStore(self.dataset_train, self.cfg, mesh=mesh),
                 DeviceStore(self.dataset_test, self.cfg, mesh=mesh),

@@ -77,7 +77,8 @@ def run_epochs(
         if store_train is not None:
             train_iter = _at_most(
                 store_train.iter_epoch(epoch, cfg.batch_size,
-                                       seed=cfg.seed or 0),
+                                       seed=cfg.seed or 0,
+                                       weighted=cfg.weighted_sampler),
                 steps_cap,
             )
         else:

@@ -163,3 +163,31 @@ def test_eval_suite_runs_from_device_store(tmp_path):
     assert any(k.startswith("likelihoods") for k in results)
     # the embedder is cached on the experiment after the PRD pass
     assert getattr(exp, "_fid_embedder", None) is not None
+
+
+def test_iter_epoch_weighted_oversamples_rare_combo():
+    """weighted=True draws by inverse label-combination frequency
+    (WeightedRandomSampler parity, dataio/utils.py:81-94)."""
+    cfg = _cfg()
+    ds = SyntheticMimic(cfg, seed=0, length=64)
+    # skew: make one combo rare
+    ds.labels[:] = 0.0
+    ds.labels[:4, 0] = 1.0  # 4 rare vs 60 common
+    store = DeviceStore(ds, cfg)
+    drawn = np.concatenate([
+        lab for _, lab in store.iter_epoch(0, 8, weighted=True, seed=3)
+    ])
+    rare_frac = float((drawn[:, 0] == 1.0).mean())
+    assert 0.3 < rare_frac < 0.7  # balanced, not the raw 1/16
+
+    cfg2 = _cfg(dataset="testing", device_resident_data=True,
+                weighted_sampler=True, batch_size=8, end_epoch=1,
+                steps_per_training_epoch=2, eval_freq=100)
+    import tempfile
+
+    from mopoe_mimic_tpu.experiment import Experiment
+    from mopoe_mimic_tpu.train.loop import run_epochs
+
+    with tempfile.TemporaryDirectory() as d:
+        out = run_epochs(Experiment(cfg2.replace(dir_experiment=d)))
+    assert np.isfinite(float(out["train"]["total_loss"]))
