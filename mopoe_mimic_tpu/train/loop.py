@@ -48,6 +48,17 @@ def run_epochs(
     # upload (exp.eval_batches).
     stores = exp.stores(mesh)
     store_train, store_test = stores if stores is not None else (None, None)
+    if store_train is None:
+        try:
+            from mopoe_mimic_tpu.data.device_store import DeviceStore
+
+            if DeviceStore.fits(exp.dataset_train, cfg):
+                log.info(
+                    "dataset fits in HBM — consider --device_resident_data "
+                    "true to eliminate per-step host→device input transfer"
+                )
+        except Exception:
+            pass
 
     state = state if state is not None else exp.init_state()
     start_epoch = cfg.start_epoch
