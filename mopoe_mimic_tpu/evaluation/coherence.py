@@ -16,7 +16,7 @@ the analog of the reference's pretrained checkpoint directory.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Mapping, Tuple
+from typing import Any, Callable, Dict, Mapping
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ TPU-first deviations (documented):
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Mapping, Optional, Tuple
+from typing import Callable, Dict, Tuple
 
 import numpy as np
 from scipy import linalg

@@ -26,7 +26,6 @@ import os
 from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from mopoe_mimic_tpu.config import MopoeConfig

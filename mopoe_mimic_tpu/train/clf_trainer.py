@@ -11,7 +11,7 @@ DataParallel path becomes the same jitted data-parallel step as the VAE.
 from __future__ import annotations
 
 import math
-from typing import Callable, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import flax.struct
 import jax
