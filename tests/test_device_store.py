@@ -191,3 +191,11 @@ def test_iter_epoch_weighted_oversamples_rare_combo():
     with tempfile.TemporaryDirectory() as d:
         out = run_epochs(Experiment(cfg2.replace(dir_experiment=d)))
     assert np.isfinite(float(out["train"]["total_loss"]))
+
+
+def test_iter_epoch_drop_last_false_keeps_remainder():
+    cfg = _cfg()
+    ds = SyntheticMimic(cfg, seed=0, length=20)
+    store = DeviceStore(ds, cfg)
+    batches = list(store.iter_epoch(0, 8, drop_last=False))
+    assert [b["PA"].shape[0] for b, _ in batches] == [8, 8, 4]

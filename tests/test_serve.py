@@ -140,3 +140,13 @@ def _char_state():
     ds = SyntheticMimic(cfg, seed=0)
     batch, _ = next(iter(BatchLoader(ds, cfg.batch_size, shuffle=False)))
     return create_train_state(cfg, jax.random.PRNGKey(0), batch)
+
+
+def test_requests_larger_than_biggest_bucket(session):
+    """Requests beyond the largest bucket split into multiple chunks."""
+    sess, batch = session
+    out = sess.generate(num_samples=11, seed=0)  # buckets (2,4) → 4+4+2+1
+    assert out["PA"].shape[0] == 11
+    big = {k: np.repeat(np.asarray(v), 3, axis=0) for k, v in batch.items()}  # 12 rows
+    lat = sess.encode(big)
+    assert lat["joint"][0].shape[0] == 12
