@@ -150,3 +150,36 @@ def test_requests_larger_than_biggest_bucket(session):
     big = {k: np.repeat(np.asarray(v), 3, axis=0) for k, v in batch.items()}  # 12 rows
     lat = sess.encode(big)
     assert lat["joint"][0].shape[0] == 12
+
+
+def test_text_array_word_uses_persisted_vocab(tmp_path, session):
+    """Word-mode text_array encodes via the vocabulary persisted next to
+    the training data (cfg.dir_data)."""
+    from mopoe_mimic_tpu.data.vocab import Vocab
+
+    sess, _ = session
+    cfg = sess.cfg  # word mode
+    base = tmp_path / f"files_small_{cfg.img_size}"
+    base.mkdir(parents=True)
+    vocab = Vocab.build(
+        ["no acute findings", "no pleural effusion", "acute findings noted"],
+        min_occ=0,
+    )
+    vocab.save(str(base), cfg.word_min_occ, cfg.len_sequence)
+
+    word_sess = InferenceSession(
+        cfg=cfg.replace(dir_data=str(tmp_path)), state=_char_state_like(cfg),
+        buckets=(2,),
+    )
+    ids = word_sess.text_array(["no acute findings", "unseen words here"])
+    assert ids.shape == (2, cfg.len_sequence) and ids.dtype == np.int32
+    # decode round-trips through the same vocab
+    toks = word_sess.decode_text(
+        np.eye(vocab.vocab_size, dtype=np.float32)[ids], i2w=vocab.i2w)
+    assert toks[0][:3] == ["no", "acute", "findings"]
+
+
+def _char_state_like(cfg):
+    ds = SyntheticMimic(cfg, seed=0)
+    batch, _ = next(iter(BatchLoader(ds, cfg.batch_size, shuffle=False)))
+    return create_train_state(cfg, jax.random.PRNGKey(0), batch)
