@@ -119,8 +119,15 @@ class MopoeConfig:
     undersample_dataset: bool = False
     weighted_sampler: bool = False
     binary_labels: bool = False
+    # read the 100-row toy slice (toy_files_small_*) written by
+    # tensor_builder.create_toy_set instead of the full store
     use_toy_dataset: bool = False
-    dataloader_workers: int = 8
+    # input-pipeline lookahead: how many assembled host batches may be in
+    # flight in prefetch_to_device (the TPU-native analog of the
+    # reference's DataLoader worker count — here one producer thread with
+    # N-deep pipelining, since batch assembly is vectorized gathers, not
+    # per-sample Python). Each in-flight batch holds host+device memory.
+    dataloader_workers: int = 2
 
     # ----- evaluation toggles (BaseFlags.py:69-90) --------------------------
     use_clf: bool = False

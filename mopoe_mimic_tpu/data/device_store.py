@@ -89,12 +89,22 @@ class DeviceStore:
             if k == "text":
                 host[k] = self._compact_text(dataset, col, idx_all)
                 continue
-            arr = np.ascontiguousarray(col[idx_all])
-            if quantize_uint8:
-                arr, q = _compact_images(arr)
+            if quantize_uint8 and hasattr(dataset, "image_uint8"):
+                # raw-bytes fast path: skip the column's float dequant +
+                # re-quantize round-trip (byte-exact for uint8 stores)
+                arr = np.ascontiguousarray(dataset.image_uint8(k, idx_all))
+                self._img_quantized[k] = True
+            elif quantize_uint8:
+                arr, q = _compact_images(np.ascontiguousarray(col[idx_all]))
                 self._img_quantized[k] = q
             else:
-                arr = np.asarray(arr, np.float32)
+                arr = np.ascontiguousarray(col[idx_all])
+                if arr.dtype == np.uint8:
+                    # uint8 source in the float path: dequantize here —
+                    # the gather only dequantizes uint8-dtype columns
+                    arr = arr.astype(np.float32) / 255.0
+                else:
+                    arr = np.asarray(arr, np.float32)
                 self._img_quantized[k] = False
             host[k] = arr
 

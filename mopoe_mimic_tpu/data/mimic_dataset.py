@@ -67,7 +67,11 @@ class MimicDataset:
         self.cfg = cfg
         self.split = split
         self.str_labels = BINARY if cfg.binary_labels else LABELS
-        base = Path(cfg.dir_data).expanduser() / f"files_small_{cfg.img_size}"
+        # use_toy_dataset selects the 100-row slice written by
+        # tensor_builder.create_toy_set (reference: create_toy_set.py +
+        # the toy dir selection in dataio)
+        prefix = "toy_files_small" if cfg.use_toy_dataset else "files_small"
+        base = Path(cfg.dir_data).expanduser() / f"{prefix}_{cfg.img_size}"
         self.imgs_pa = _load_images(base, split, "pa")
         self.imgs_lat = _load_images(base, split, "lat")
         self.report_findings = pd.read_csv(base / f"{split}_findings.csv")["findings"]
@@ -125,13 +129,15 @@ class MimicDataset:
         )
 
     def _img(self, store: np.ndarray, ds_index: int) -> np.ndarray:
-        """One image, HWC. uint8 stores (tensor_builder store_uint8) pass
-        through as uint8 when cfg.transfer_uint8 — the jitted step
-        dequantizes on device — else dequantize to float32 here."""
+        """One image, HWC, float32 in [0,1] — ALWAYS. uint8 stores
+        (tensor_builder store_uint8) dequantize here so every loader
+        consumer (clf trainer, representation/likelihood evals, plots)
+        sees one contract. The compact transfer paths opt in explicitly:
+        prefetch_to_device(quantize=cfg.transfer_uint8) re-quantizes for
+        the host→device hop, and DeviceStore pulls raw bytes through
+        ``image_uint8`` below — both byte-exact round-trips."""
         raw = store[ds_index]
-        if raw.dtype == np.uint8 and self.cfg.transfer_uint8:
-            img = np.asarray(raw)
-        elif raw.dtype == np.uint8:
+        if raw.dtype == np.uint8:
             img = np.asarray(raw, dtype=np.float32) / 255.0
         else:
             img = np.asarray(raw, dtype=np.float32)
@@ -140,6 +146,21 @@ class MimicDataset:
         elif img.shape[0] in (1, 3):  # CHW legacy layout → HWC
             img = np.moveaxis(img, 0, -1)
         return img
+
+    def image_uint8(self, key: str, idx: np.ndarray) -> np.ndarray:
+        """Raw uint8 HWC rows for DeviceStore's compact HBM form — no
+        float round-trip for uint8 stores; float stores quantize
+        (round(x·255), the DeviceStore contract)."""
+        store = self.imgs_pa if key == "PA" else self.imgs_lat
+        idx = np.atleast_1d(np.asarray(idx))
+        rows = np.stack([np.asarray(store[int(self.row_index[i])]) for i in idx])
+        if rows.ndim == 3:
+            rows = rows[..., None]
+        elif rows.shape[1] in (1, 3) and rows.shape[-1] not in (1, 3):
+            rows = np.moveaxis(rows, 1, -1)
+        if rows.dtype == np.uint8:
+            return rows
+        return np.round(np.clip(rows, 0.0, 1.0) * 255.0).astype(np.uint8)
 
     def __getitem__(self, idx: int) -> Tuple[Dict[str, np.ndarray], np.ndarray]:
         ds_index = int(self.row_index[idx])

@@ -130,6 +130,7 @@ def calc_prd_score(
     """Per-subset PRD of conditionally generated images vs real ones, plus
     random generation. embed_fn maps [N,H,W,C] images to [N,D] features."""
     import jax
+    import jax.numpy as jnp
 
     cfg = exp.cfg
     model = exp.model
@@ -160,9 +161,15 @@ def calc_prd_score(
     # sanitization (coherence.py:49-53).
     real_acts_parts = {m: [] for m in img_mods}
     gen_acts_parts: Dict[str, Dict[str, list]] = {}
+    # cfg.num_samples_fid caps the FID/PRD sample count per set — the
+    # reference stops saving samples at that many (coherence.py:289-291)
+    n_seen = 0
     for i, (batch, _labels) in enumerate(test_loader):
         if max_batches and i >= max_batches:  # 0 → full test set
             break
+        if cfg.num_samples_fid and n_seen >= cfg.num_samples_fid:
+            break
+        n_seen += int(batch[img_mods[0]].shape[0])
         rng, r1, r2 = jax.random.split(rng, 3)
         cond = cond_gen(state.params, state.batch_stats, batch, r1)
         cond = dict(cond)
@@ -172,7 +179,12 @@ def calc_prd_score(
         for s_key, gen in cond.items():
             slot = gen_acts_parts.setdefault(s_key, {m: [] for m in img_mods})
             for m in img_mods:
-                slot[m].append(np.nan_to_num(embed_fn(gen[m])))
+                # sanitize the generated image itself BEFORE embedding
+                # (reference semantics, coherence.py:49-53): a NaN pixel
+                # becomes the embedding of a zeroed image, not an all-zero
+                # activation vector; the outer nan_to_num keeps covering
+                # non-finite activations from untrained eval-mode BN.
+                slot[m].append(np.nan_to_num(embed_fn(jnp.nan_to_num(gen[m]))))
 
     results = {}
     for m in img_mods:

@@ -104,13 +104,26 @@ class Experiment:
         host buffers per upload, BENCH.md environment caveat)."""
         if not self.cfg.device_resident_data:
             return None
-        if getattr(self, "_stores", None) is None:
-            from mopoe_mimic_tpu.data.device_store import DeviceStore
-
-            self._stores = (
-                DeviceStore(self.dataset_train, self.cfg, mesh=mesh),
-                DeviceStore(self.dataset_test, self.cfg, mesh=mesh),
+        cached_mesh = getattr(self, "_stores_mesh", None)
+        if getattr(self, "_stores", None) is not None:
+            # mesh=None means "whatever is cached"; a DIFFERENT real mesh
+            # than the one the cache was built with must rebuild — an
+            # unsharded (or wrongly sharded) store would feed a sharded
+            # train step silently wrong on multi-chip meshes.
+            if mesh is None or mesh is cached_mesh:
+                return self._stores
+            log.warning(
+                "Experiment.stores: rebuilding DeviceStores for a new mesh "
+                f"(cached={cached_mesh}, requested={mesh}) — this re-uploads "
+                "the dataset (BENCH.md tunnel caveat: uploads retain host RAM)"
             )
+        from mopoe_mimic_tpu.data.device_store import DeviceStore
+
+        self._stores = (
+            DeviceStore(self.dataset_train, self.cfg, mesh=mesh),
+            DeviceStore(self.dataset_test, self.cfg, mesh=mesh),
+        )
+        self._stores_mesh = mesh
         return self._stores
 
     def eval_batches(self, split: str = "test", epoch: int = 0):

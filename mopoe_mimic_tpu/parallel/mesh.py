@@ -38,21 +38,24 @@ def make_mesh(
     cfg: Optional[MopoeConfig] = None,
     devices: Optional[Sequence[jax.Device]] = None,
     shape: Tuple[int, ...] = (),
-    axis_names: Tuple[str, ...] = (DATA_AXIS,),
+    axis_names: Tuple[str, ...] = (),
 ) -> Mesh:
+    data_axis = cfg.data_axis if cfg is not None else DATA_AXIS
+    axis_names = axis_names or (data_axis,)
     devices = list(devices) if devices is not None else jax.devices()
     shape = shape or (cfg.mesh_shape if cfg else ()) or (len(devices),)
     if len(shape) != len(axis_names):
         axis_names = tuple(
-            [DATA_AXIS] + [f"axis{i}" for i in range(1, len(shape))]
+            [data_axis] + [f"axis{i}" for i in range(1, len(shape))]
         )
     mesh_devices = np.array(devices[: int(np.prod(shape))]).reshape(shape)
     return Mesh(mesh_devices, axis_names=axis_names)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Batch arrays: sharded along the data axis, replicated elsewhere."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Batch arrays: sharded along the data axis (the mesh's first axis),
+    replicated elsewhere."""
+    return NamedSharding(mesh, P(mesh.axis_names[0]))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

@@ -193,6 +193,33 @@ def test_iter_epoch_weighted_oversamples_rare_combo():
     assert np.isfinite(float(out["train"]["total_loss"]))
 
 
+def test_float_store_dequantizes_uint8_source(tmp_path):
+    """ADVICE r2: DeviceStore(quantize_uint8=False) over a uint8 on-disk
+    store must still emit [0,1] floats — and the host loader's contract is
+    float [0,1] regardless of cfg.transfer_uint8."""
+    from tests.test_real_data_path import _make_fake_mimic_tree
+    from mopoe_mimic_tpu.data.mimic_dataset import MimicDataset
+    from mopoe_mimic_tpu.data.tensor_builder import TensorDatasetBuilder
+
+    _make_fake_mimic_tree(tmp_path)
+    TensorDatasetBuilder(str(tmp_path), str(tmp_path / "out"), img_size=64)()
+    cfg = _cfg(dataset="Mimic", dir_data=str(tmp_path / "out"),
+               text_encoding="char", transfer_uint8=True)
+    ds = MimicDataset(cfg, "train")
+
+    # loader contract: float [0,1] even with transfer_uint8 on
+    batch, _ = next(iter(BatchLoader(ds, 2, shuffle=False)))
+    assert batch["PA"].dtype == np.float32 and float(batch["PA"].max()) <= 1.0
+
+    idx = np.array([0, 1])
+    want = np.asarray(ds.arrays["PA"][idx])
+    for quant in (True, False):
+        store = DeviceStore(ds, cfg, quantize_uint8=quant)
+        got = jax.device_get(store.gather(idx))
+        assert got["PA"].dtype == np.float32
+        np.testing.assert_allclose(got["PA"], want, atol=1e-7)  # byte-exact
+
+
 def test_iter_epoch_drop_last_false_keeps_remainder():
     cfg = _cfg()
     ds = SyntheticMimic(cfg, seed=0, length=20)

@@ -4,11 +4,43 @@ use_clf/calc_nll/eval_lr/calc_prd on, mimic/tests/test_training.py:19-123)."""
 
 import tempfile
 
+import numpy as np
 import pytest
 
 from mopoe_mimic_tpu.config import MopoeConfig
 from mopoe_mimic_tpu.evaluation.runner import run_eval_suite
 from mopoe_mimic_tpu.experiment import Experiment
+
+
+def test_num_samples_fid_caps_prd_sample_count(tmp_path):
+    """cfg.num_samples_fid bounds how many test samples feed FID/PRD
+    (reference caps saved FID samples, coherence.py:289-291)."""
+    from mopoe_mimic_tpu.evaluation.sample_quality import calc_prd_score
+
+    cfg = MopoeConfig(
+        method="joint_elbo", dataset="testing", batch_size=8, class_dim=4,
+        DIM_img=2, DIM_text=2, img_size=64, text_encoding="word",
+        vocab_size=50, compute_dtype="float32", seed=1,
+        synthetic_length=16, num_samples_fid=8,
+        dir_experiment=str(tmp_path / "runs"),
+    )
+    exp = Experiment(cfg)
+    state = exp.init_state()
+
+    real_rows = []
+
+    def embed(x):
+        x = np.asarray(x)
+        real_rows.append(x.shape[0])
+        return x.reshape(x.shape[0], -1)[:, :4]
+
+    calc_prd_score(exp, state, embed)
+    # test split has 16 samples (2 batches); the cap stops after 1 batch:
+    # per consumed batch the embedder sees 2 real + 2·(subsets+random) gen
+    # calls, all with batch-size rows — total rows must reflect ONE batch
+    n_calls_one_batch = 2 * (1 + len(exp.subsets) + 1)
+    assert len(real_rows) <= n_calls_one_batch
+    assert all(r == 8 for r in real_rows)
 
 
 @pytest.mark.slow

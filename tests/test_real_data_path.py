@@ -100,6 +100,13 @@ def test_builder_dataset_train_roundtrip(tmp_path):
     stats = dataset_stats(str(tmp_path / "out"), 64)
     assert 0.0 < stats["pa_mean"] < 1.0
 
+    # cfg.use_toy_dataset reads the toy slice (toy_files_small_*)
+    cfg_toy = cfg.replace(use_toy_dataset=True)
+    ds_toy = MimicDataset(cfg_toy, "train")
+    assert len(ds_toy) <= 2
+    s, _ = ds_toy[0]
+    np.testing.assert_allclose(s["PA"], ds[0][0]["PA"], atol=1e-7)
+
 
 def test_uint8_store_matches_float_store(tmp_path):
     """store_uint8 (default) is lossless vs the float32 store (float ==
@@ -124,10 +131,24 @@ def test_uint8_store_matches_float_store(tmp_path):
     assert s_u8["PA"].dtype == np.float32  # host dequant without transfer_uint8
     np.testing.assert_allclose(s_u8["PA"], s_f32["PA"], atol=1e-7)
 
-    # transfer_uint8: raw bytes flow to the device untouched
+    # the loader contract is float [0,1] regardless of transfer_uint8 —
+    # every consumer (clf trainer, representation/likelihood evals) sees
+    # the same scale; only the explicit compact paths carry uint8
     cfg_t = MopoeConfig(dir_data=str(tmp_path / "u8"), transfer_uint8=True, **base_cfg)
     ds_t = MimicDataset(cfg_t, "train")
     s_t, _ = ds_t[0]
-    assert s_t["PA"].dtype == np.uint8
+    assert s_t["PA"].dtype == np.float32 and float(s_t["PA"].max()) <= 1.0
     batch, _ = next(iter(BatchLoader(ds_t, 2, shuffle=False)))
-    assert batch["PA"].dtype == np.uint8 and batch["PA"].shape == (2, 64, 64, 1)
+    assert batch["PA"].dtype == np.float32 and batch["PA"].shape == (2, 64, 64, 1)
+
+    # prefetch quantization re-creates the on-disk bytes exactly
+    from mopoe_mimic_tpu.parallel.prefetch import quantize_batch_uint8
+
+    q = quantize_batch_uint8(batch)
+    assert q["PA"].dtype == np.uint8
+    np.testing.assert_array_equal(q["PA"][0, ..., 0], u8[ds_t.row_index[0]])
+
+    # DeviceStore's compact accessor is byte-exact (no float round-trip)
+    raw = ds_t.image_uint8("PA", np.arange(2))
+    assert raw.dtype == np.uint8 and raw.shape == (2, 64, 64, 1)
+    np.testing.assert_array_equal(raw[0, ..., 0], u8[ds_t.row_index[0]])
