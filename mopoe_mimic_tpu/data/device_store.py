@@ -20,10 +20,17 @@ TPU-native answer is to park the compact store in HBM instead:
 
 MIMIC at 128px uint8 is ~2.1 GB for 65k studies × 2 views — comfortably
 inside a v5e's 16 GB HBM next to the ~50M-param model. ``fits()``
-pre-checks the budget. Multi-chip: the store is replicated over the mesh
-and the gathered batch is emitted sharded along the data axis
-(out_shardings), so the per-step program is identical to the streaming
-path's.
+pre-checks the budget.
+
+Multi-chip: single-host the store is replicated over the mesh and the
+gathered batch is emitted sharded along the data axis (out_shardings), so
+the per-step program is identical to the streaming path's. Multi-HOST
+(jax.process_count() > 1, or shard_rows=True) the store itself is ONE
+global array per column, row-sharded over the mesh's data axis: each
+process fetches and uploads only the rows its local devices own
+(jax.make_array_from_single_device_arrays) and the jitted gather's take
+rides XLA's cross-device collectives — HBM per chip drops by the device
+count, per-step transfer stays the [B] index vector.
 """
 
 from __future__ import annotations
@@ -69,59 +76,110 @@ class DeviceStore:
         mesh=None,
         quantize_uint8: bool = True,
         columns: Optional[Tuple[str, ...]] = None,
+        shard_rows: Optional[bool] = None,
     ):
         self.cfg = cfg
         self.mesh = mesh
-        if jax.process_count() > 1:
-            raise NotImplementedError(
-                "DeviceStore is single-host (the store is replicated over "
-                "local devices); multi-host training should stream via "
-                "BatchLoader's per-host shards + prefetch_to_device"
-            )
+        multi_host = jax.process_count() > 1
+        if shard_rows is None:
+            # multi-host: replication would need every process to upload
+            # the full store — shard rows over the mesh instead, each
+            # process uploads ONLY the rows its local devices own
+            shard_rows = multi_host
+        if shard_rows and mesh is None:
+            raise ValueError("shard_rows=True requires a mesh")
+        self.shard_rows = shard_rows
         n = len(dataset)
-        idx_all = np.arange(n)
+        self._n = n
         cols = dataset.arrays
         if columns is not None:  # e.g. a single modality for clf training
             cols = {k: v for k, v in cols.items() if k in columns}
-        host: Dict[str, np.ndarray] = {}
         self._img_quantized: Dict[str, bool] = {}
-        for k, col in cols.items():
-            if k == "text":
-                host[k] = self._compact_text(dataset, col, idx_all)
-                continue
-            if quantize_uint8 and hasattr(dataset, "image_uint8"):
-                # raw-bytes fast path: skip the column's float dequant +
-                # re-quantize round-trip (byte-exact for uint8 stores)
-                arr = np.ascontiguousarray(dataset.image_uint8(k, idx_all))
-                self._img_quantized[k] = True
-            elif quantize_uint8:
-                arr, q = _compact_images(np.ascontiguousarray(col[idx_all]))
-                self._img_quantized[k] = q
-            else:
-                arr = np.ascontiguousarray(col[idx_all])
-                if arr.dtype == np.uint8:
-                    # uint8 source in the float path: dequantize here —
-                    # the gather only dequantizes uint8-dtype columns
-                    arr = arr.astype(np.float32) / 255.0
-                else:
-                    arr = np.asarray(arr, np.float32)
-                self._img_quantized[k] = False
-            host[k] = arr
+        self._quantize_uint8 = quantize_uint8
+        self._dataset = dataset
 
         self.labels = np.asarray(dataset.labels)
-        self.nbytes = sum(a.nbytes for a in host.values())
-        log.info(
-            f"DeviceStore: {n} samples, "
-            f"{self.nbytes / 1e9:.2f} GB resident on device"
-        )
-        if mesh is not None:
-            from mopoe_mimic_tpu.parallel.mesh import replicated_sharding
-
-            put = lambda a: jax.device_put(a, replicated_sharding(mesh))  # noqa: E731
+        if shard_rows:
+            self._cols, self.nbytes = self._upload_sharded(dataset, cols, mesh)
         else:
-            put = jax.device_put
-        self._cols = {k: put(v) for k, v in host.items()}
+            host: Dict[str, np.ndarray] = {}
+            idx_all = np.arange(n)
+            for k, col in cols.items():
+                host[k] = self._fetch(dataset, col, k, idx_all)
+            self.nbytes = sum(a.nbytes for a in host.values())
+            if mesh is not None:
+                from mopoe_mimic_tpu.parallel.mesh import replicated_sharding
+
+                put = lambda a: jax.device_put(a, replicated_sharding(mesh))  # noqa: E731
+            else:
+                put = jax.device_put
+            self._cols = {k: put(v) for k, v in host.items()}
+        log.info(
+            f"DeviceStore: {n} samples, {self.nbytes / 1e9:.2f} GB "
+            f"{'row-sharded over the mesh' if shard_rows else 'resident on device'}"
+        )
         self._gather = self._build_gather()
+
+    # ------------------------------------------------------------------
+
+    def _fetch(self, dataset, col, k: str, idx: np.ndarray) -> np.ndarray:
+        """Host rows for global indices, in the store's compact form."""
+        if k == "text":
+            return self._compact_text(dataset, col, idx)
+        if self._quantize_uint8 and hasattr(dataset, "image_uint8"):
+            # raw-bytes fast path: skip the column's float dequant +
+            # re-quantize round-trip (byte-exact for uint8 stores)
+            arr = np.ascontiguousarray(dataset.image_uint8(k, idx))
+            self._img_quantized[k] = True
+            return arr
+        if self._quantize_uint8:
+            arr, q = _compact_images(np.ascontiguousarray(col[idx]))
+            self._img_quantized[k] = q
+            return arr
+        arr = np.ascontiguousarray(col[idx])
+        if arr.dtype == np.uint8:
+            # uint8 source in the float path: dequantize here — the
+            # gather only dequantizes uint8-dtype columns
+            arr = arr.astype(np.float32) / 255.0
+        else:
+            arr = np.asarray(arr, np.float32)
+        self._img_quantized[k] = False
+        return arr
+
+    def _upload_sharded(self, dataset, cols, mesh):
+        """Row-sharded upload: the store is ONE global array per column,
+        sharded along the mesh's data axis; each process fetches and
+        device_puts only the row ranges its addressable devices own, then
+        the global array is assembled with
+        jax.make_array_from_single_device_arrays (the multi-host
+        DeviceStore path, VERDICT r2 #6). Rows are padded (by repeating
+        the last row) to a device-count multiple; iter_epoch only draws
+        real indices so padding is never sampled."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+        n_dev = mesh.devices.size
+        n_pad = -(-self._n // n_dev) * n_dev
+        out: Dict[str, jax.Array] = {}
+        nbytes = 0
+        for k, col in cols.items():
+            # probe one row for shape/dtype without fetching everything
+            probe = self._fetch(dataset, col, k, np.arange(1))
+            global_shape = (n_pad,) + probe.shape[1:]
+            shards = []
+            for dev, index in sharding.addressable_devices_indices_map(
+                global_shape
+            ).items():
+                row_sl = index[0]
+                rows = np.arange(row_sl.start or 0, row_sl.stop)
+                rows = np.minimum(rows, self._n - 1)  # pad = repeat last row
+                local = self._fetch(dataset, col, k, rows)
+                shards.append(jax.device_put(local, dev))
+                nbytes += local.nbytes
+            out[k] = jax.make_array_from_single_device_arrays(
+                global_shape, sharding, shards
+            )
+        return out, nbytes
 
     # ------------------------------------------------------------------
 

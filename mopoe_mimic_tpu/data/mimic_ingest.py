@@ -1,0 +1,387 @@
+"""Raw MIMIC-CXR-JPG ingestion: distribution files → per-split array store.
+
+This is the data-engineering front end the reference only half-ships: its
+builder (mimic/dataio/create_tensor_dataset.py:18-248) CONSUMES pre-joined
+``{train,eval,test}.csv`` files with ``pa_dicom_id``/``lat_dicom_id``/
+``findings``/label columns, which were produced outside the repo. Here the
+whole pipeline is in-tree, from the actual MIMIC-CXR-JPG v2.0.0 layout:
+
+  dir_mimic/
+    mimic-cxr-2.0.0-metadata.csv[.gz]   dicom_id, subject_id, study_id,
+                                        ViewPosition, ...
+    mimic-cxr-2.0.0-split.csv[.gz]      dicom_id, study_id, subject_id,
+                                        split ∈ {train, validate, test}
+    mimic-cxr-2.0.0-chexpert.csv[.gz]   subject_id, study_id, 13 CheXpert
+                                        label columns (1 / 0 / -1 / blank)
+    files/p##/p<subject>/s<study>/<dicom>.jpg      the JPEGs
+    files/p##/p<subject>/s<study>.txt              the reports (optional
+                                        mirror: reports/files/... as in the
+                                        mimic-cxr-reports distribution)
+
+Stages (each stage mirrors the reference semantics where it exists):
+  1. **Metadata join** — per study pick the PA-view dicom and the
+     Lateral-view dicom (ViewPosition 'LATERAL'/'LL'); studies missing
+     either view are dropped; CheXpert labels joined on
+     (subject_id, study_id); FINDINGS / IMPRESSION sections parsed from
+     the report text; split 'validate' → 'eval'.
+  2. **Resize cache** — center-crop square + LANCZOS resize each needed
+     JPEG into a mirror tree, skipping files that already exist
+     (create_tensor_dataset.py:195-224); parallel over a worker pool.
+  3. **Store build** — drop rows whose resized files are missing
+     (:102-138), then write exact-size uint8 ``.npy`` stores row-by-row
+     through a memmap (bounded memory at any dataset scale — the
+     reference materializes the whole float tensor in RAM) + findings /
+     impressions / labels CSVs; binary 'Finding' = sum(labels) > 0
+     (:166-172).
+
+The output directory is exactly what ``MimicDataset`` / the existing
+``TensorDatasetBuilder`` emit, so everything downstream (loader,
+DeviceStore, vocab) is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import time
+from concurrent.futures import ProcessPoolExecutor
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from mopoe_mimic_tpu.utils.logger import log
+
+SPLIT_MAP = {"train": "train", "validate": "eval", "test": "test"}
+LATERAL_VIEWS = ("LATERAL", "LL")
+CHEXPERT_LABELS = [
+    "Atelectasis", "Cardiomegaly", "Consolidation", "Edema",
+    "Enlarged Cardiomediastinum", "Fracture", "Lung Lesion", "Lung Opacity",
+    "No Finding", "Pleural Effusion", "Pleural Other", "Pneumonia",
+    "Pneumothorax", "Support Devices",
+]
+# the reference's binary-label base set excludes 'No Finding'
+# (create_tensor_dataset.py:52-55)
+BINARY_BASE = [l for l in CHEXPERT_LABELS if l != "No Finding"]
+
+_SECTION_RE = re.compile(
+    r"^\s*(FINDINGS|IMPRESSION)\s*:", re.IGNORECASE | re.MULTILINE
+)
+
+
+def parse_report(text: str) -> Tuple[str, str]:
+    """Extract the FINDINGS and IMPRESSION sections from a MIMIC-CXR
+    report. Sections run to the next ALL-CAPS header or end of file."""
+    findings, impression = "", ""
+    matches = list(_SECTION_RE.finditer(text))
+    header_re = re.compile(r"^\s*[A-Z][A-Z /]+:\s*", re.MULTILINE)
+    for m in matches:
+        start = m.end()
+        nxt = header_re.search(text, pos=start)
+        body = text[start : nxt.start() if nxt else len(text)]
+        body = " ".join(body.split())
+        if m.group(1).upper() == "FINDINGS":
+            findings = body
+        else:
+            impression = body
+    return findings, impression
+
+
+def _read_table(dir_mimic: Path, stem: str) -> pd.DataFrame:
+    for suffix in (".csv", ".csv.gz"):
+        fn = dir_mimic / f"{stem}{suffix}"
+        if fn.exists():
+            return pd.read_csv(fn)
+    raise FileNotFoundError(f"{stem}.csv[.gz] not found under {dir_mimic}")
+
+
+def _study_relpath(subject_id, study_id) -> str:
+    p = str(int(subject_id))
+    return f"p{p[:2]}/p{p}/s{int(study_id)}"
+
+
+def build_join(dir_mimic: str, max_rows: Optional[int] = None,
+               read_reports: bool = True) -> Dict[str, pd.DataFrame]:
+    """MIMIC-CXR distribution CSVs → {split: frame} with one row per study
+    that has BOTH a PA and a Lateral view, columns
+    subject_id/study_id/pa_dicom_id/lat_dicom_id/findings/impression +
+    the CheXpert labels. This is the join the reference assumes was done
+    out-of-tree (its {split}.csv inputs, create_tensor_dataset.py:42-47)."""
+    root = Path(dir_mimic)
+    meta = _read_table(root, "mimic-cxr-2.0.0-metadata")
+    split = _read_table(root, "mimic-cxr-2.0.0-split")
+    chexpert = _read_table(root, "mimic-cxr-2.0.0-chexpert")
+
+    # one PA and one Lateral dicom per study (first wins, deterministic by
+    # dicom_id sort so reruns are stable)
+    meta = meta.sort_values("dicom_id")
+    is_pa = meta["ViewPosition"] == "PA"
+    is_lat = meta["ViewPosition"].isin(LATERAL_VIEWS)
+    pa = (
+        meta[is_pa]
+        .drop_duplicates(["subject_id", "study_id"])
+        .loc[:, ["subject_id", "study_id", "dicom_id"]]
+        .rename(columns={"dicom_id": "pa_dicom_id"})
+    )
+    lat = (
+        meta[is_lat]
+        .drop_duplicates(["subject_id", "study_id"])
+        .loc[:, ["subject_id", "study_id", "dicom_id"]]
+        .rename(columns={"dicom_id": "lat_dicom_id"})
+    )
+    # inner join: keep studies with BOTH views (rows with a missing view
+    # are dropped — the join-and-drop the reference relies on)
+    both = pa.merge(lat, on=["subject_id", "study_id"], how="inner")
+
+    # split assignment per study (all dicoms of a study share the split)
+    study_split = split.drop_duplicates(["subject_id", "study_id"])[
+        ["subject_id", "study_id", "split"]
+    ]
+    both = both.merge(study_split, on=["subject_id", "study_id"], how="left")
+    both = both[both["split"].notna()]
+    both["split"] = both["split"].map(SPLIT_MAP)
+    both = both[both["split"].notna()]
+
+    # CheXpert labels per study
+    label_cols = [c for c in CHEXPERT_LABELS if c in chexpert.columns]
+    both = both.merge(
+        chexpert[["subject_id", "study_id", *label_cols]],
+        on=["subject_id", "study_id"], how="left",
+    )
+
+    out: Dict[str, pd.DataFrame] = {}
+    for split_name in ("train", "eval", "test"):
+        df = both[both["split"] == split_name].copy()
+        if max_rows:
+            df = df.iloc[:max_rows]
+        df = df.reset_index(drop=True)
+        if read_reports:
+            f_list: List[str] = []
+            i_list: List[str] = []
+            for _, row in df.iterrows():
+                rel = _study_relpath(row["subject_id"], row["study_id"])
+                txt = _find_report(root, rel)
+                f, i = parse_report(txt) if txt else ("", "")
+                f_list.append(f)
+                i_list.append(i)
+            df["findings"] = f_list
+            df["impression"] = i_list
+        out[split_name] = df
+    return out
+
+
+def _find_report(root: Path, study_rel: str) -> str:
+    """Report text for a study: sidecar s<study>.txt next to the image dir
+    (files/ tree) or the mimic-cxr-reports mirror (reports/files/...)."""
+    for base in ("files", os.path.join("reports", "files")):
+        fn = root / base / f"{study_rel}.txt"
+        if fn.exists():
+            try:
+                return fn.read_text(errors="replace")
+            except OSError:
+                return ""
+    return ""
+
+
+# ---------------------------------------------------------------------------
+# stage 2: resize cache (parallel)
+# ---------------------------------------------------------------------------
+
+def _resize_one(args: Tuple[str, str, int]) -> bool:
+    """Worker: center-crop + LANCZOS resize one JPEG (skip if cached)."""
+    src, dst, img_size = args
+    if os.path.exists(dst):
+        return True
+    try:
+        from PIL import Image
+
+        from mopoe_mimic_tpu.data.tensor_builder import center_crop_resize
+
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        with Image.open(src) as im:
+            arr = center_crop_resize(im.convert("L"), img_size, uint8=True)
+        Image.fromarray(arr, mode="L").save(dst, "JPEG", quality=95)
+        return True
+    except (FileNotFoundError, OSError):
+        return False
+
+
+class MimicIngest:
+    """End-to-end raw-tree → store build (see module docstring).
+
+    Parameters
+    ----------
+    dir_mimic: MIMIC-CXR-JPG root (distribution CSVs + files/ tree).
+    dir_out:   output root; stores land in dir_out/files_small_{img_size}.
+    img_size:  128 or 256.
+    workers:   resize/load worker processes (1 = in-process, no pool).
+    max_rows:  per-split row cap (testing).
+    dir_resize_cache: where resized JPEGs are mirrored (default
+        dir_out/resized_{img_size}); reruns skip cached files, matching
+        the reference's cached intermediate (create_tensor_dataset.py:
+        195-224; its zip wrap/unwrap is replaced by the cache dir being
+        freely archivable).
+    """
+
+    def __init__(
+        self,
+        dir_mimic: str,
+        dir_out: str,
+        img_size: int = 128,
+        workers: int = 1,
+        max_rows: Optional[int] = None,
+        dir_resize_cache: Optional[str] = None,
+    ):
+        self.dir_mimic = Path(dir_mimic)
+        self.dir_out = Path(dir_out) / f"files_small_{img_size}"
+        self.img_size = img_size
+        self.workers = max(1, workers)
+        self.max_rows = max_rows
+        self.dir_resize = Path(
+            dir_resize_cache or (Path(dir_out) / f"resized_{img_size}")
+        )
+        self.stats: Dict[str, float] = {}
+
+    # -- paths ----------------------------------------------------------
+
+    def _jpg_src(self, row, which: str) -> str:
+        rel = _study_relpath(row["subject_id"], row["study_id"])
+        return str(self.dir_mimic / "files" / rel / f"{row[which]}.jpg")
+
+    def _jpg_resized(self, row, which: str) -> str:
+        rel = _study_relpath(row["subject_id"], row["study_id"])
+        return str(self.dir_resize / rel / f"{row[which]}.jpg")
+
+    # -- stages ----------------------------------------------------------
+
+    def __call__(self) -> Dict[str, int]:
+        t0 = time.perf_counter()
+        frames = build_join(str(self.dir_mimic), max_rows=self.max_rows)
+        self.stats["join_s"] = time.perf_counter() - t0
+        n_rows = {}
+        for split, df in frames.items():
+            t1 = time.perf_counter()
+            self._resize_split(df)
+            t2 = time.perf_counter()
+            n_rows[split] = self._write_split(split, df)
+            t3 = time.perf_counter()
+            self.stats[f"{split}_resize_s"] = t2 - t1
+            self.stats[f"{split}_store_s"] = t3 - t2
+            log.info(
+                f"ingest {split}: {n_rows[split]} studies "
+                f"(resize {t2 - t1:.1f}s, store {t3 - t1:.1f}s)"
+            )
+        self.stats["total_s"] = time.perf_counter() - t0
+        return n_rows
+
+    def _resize_split(self, df: pd.DataFrame) -> None:
+        jobs = []
+        for _, row in df.iterrows():
+            for which in ("pa_dicom_id", "lat_dicom_id"):
+                jobs.append(
+                    (self._jpg_src(row, which), self._jpg_resized(row, which),
+                     self.img_size)
+                )
+        if self.workers > 1:
+            with ProcessPoolExecutor(max_workers=self.workers) as pool:
+                list(pool.map(_resize_one, jobs, chunksize=64))
+        else:
+            for j in jobs:
+                _resize_one(j)
+
+    def _write_split(self, split: str, df: pd.DataFrame) -> int:
+        """Existence check → exact-size uint8 memmap stores → CSVs."""
+        self.dir_out.mkdir(parents=True, exist_ok=True)
+        keep_mask = np.array(
+            [
+                os.path.exists(self._jpg_resized(row, "pa_dicom_id"))
+                and os.path.exists(self._jpg_resized(row, "lat_dicom_id"))
+                for _, row in df.iterrows()
+            ],
+            dtype=bool,
+        )
+        dropped = int((~keep_mask).sum())
+        if dropped:
+            log.info(f"ingest {split}: dropping {dropped} rows with missing images")
+        df = df[keep_mask].reset_index(drop=True)
+        n = len(df)
+        s = self.img_size
+
+        pa_mm = np.lib.format.open_memmap(
+            self.dir_out / f"{split}_pa.npy", mode="w+", dtype=np.uint8,
+            shape=(n, s, s),
+        )
+        lat_mm = np.lib.format.open_memmap(
+            self.dir_out / f"{split}_lat.npy", mode="w+", dtype=np.uint8,
+            shape=(n, s, s),
+        )
+        rows = [
+            (self._jpg_resized(row, "pa_dicom_id"),
+             self._jpg_resized(row, "lat_dicom_id"))
+            for _, row in df.iterrows()
+        ]
+        if self.workers > 1:
+            with ProcessPoolExecutor(max_workers=self.workers) as pool:
+                for i, (pa, lat) in enumerate(
+                    pool.map(_load_pair, rows, chunksize=64)
+                ):
+                    pa_mm[i] = pa
+                    lat_mm[i] = lat
+        else:
+            for i, pair in enumerate(rows):
+                pa, lat = _load_pair(pair)
+                pa_mm[i] = pa
+                lat_mm[i] = lat
+        pa_mm.flush()
+        lat_mm.flush()
+
+        # uid + text + labels CSVs (create_tensor_dataset.py:147-172)
+        df["uid"] = df["pa_dicom_id"].astype(str) + "_" + df["lat_dicom_id"].astype(str)
+        assert not df["uid"].duplicated().any(), "study uid must be unique"
+        df[["findings", "uid"]].to_csv(self.dir_out / f"{split}_findings.csv", index=False)
+        if "impression" in df.columns:
+            df[["impression", "uid"]].to_csv(
+                self.dir_out / f"{split}_impressions.csv", index=False
+            )
+        label_cols = [c for c in BINARY_BASE if c in df.columns]
+        labels = df[[*label_cols]].copy()
+        # binary 'Finding' = sum over the 13 labels > 0 (reference
+        # create_binary_labels, create_tensor_dataset.py:166-172; NaNs
+        # don't count, -1 'uncertain' subtracts — mirrored exactly)
+        labels["Finding"] = (labels[label_cols].sum(axis=1, skipna=True) > 0).astype(int)
+        labels["uid"] = df["uid"]
+        labels.to_csv(self.dir_out / f"{split}_labels.csv", index=False)
+        return n
+
+
+def _load_pair(paths: Tuple[str, str]) -> Tuple[np.ndarray, np.ndarray]:
+    from PIL import Image
+
+    out = []
+    for p in paths:
+        with Image.open(p) as im:
+            out.append(np.asarray(im.convert("L"), dtype=np.uint8))
+    return out[0], out[1]
+
+
+def main(argv=None) -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--dir_mimic", required=True)
+    ap.add_argument("--dir_out", required=True)
+    ap.add_argument("--img_size", type=int, default=128)
+    ap.add_argument("--workers", type=int, default=max(1, (os.cpu_count() or 1) - 1))
+    ap.add_argument("--max_rows", type=int, default=0)
+    args = ap.parse_args(argv)
+    ingest = MimicIngest(
+        args.dir_mimic, args.dir_out, img_size=args.img_size,
+        workers=args.workers, max_rows=args.max_rows or None,
+    )
+    n = ingest()
+    log.info(f"ingest complete: {n} — timings {ingest.stats}")
+
+
+if __name__ == "__main__":
+    main()

@@ -61,13 +61,19 @@ def tensor_to_text(
         gen_t = np.argmax(gen_t, axis=-1)
     if gen_t.ndim == 1:
         gen_t = gen_t[None]
-    out = []
-    for row in gen_t:
-        if i2w is not None:
-            out.append([i2w.get(str(int(i)), UNK_CHAR) for i in row])
-        else:
-            out.append([alphabet[int(i)] for i in row])
-    return out
+    gen_t = gen_t.astype(np.int64)
+    # vectorized decode: one fancy index over a token table instead of a
+    # Python dict lookup per token (the BLEU decode was a dominant host
+    # cost of eval rounds on a 1-core box, VERDICT r2 #3)
+    if i2w is not None:
+        hi = int(gen_t.max(initial=0))
+        table = np.array(
+            [i2w.get(str(i), UNK_CHAR) for i in range(hi + 1)], dtype=object
+        )
+    else:
+        table = np.array(list(alphabet), dtype=object)
+    rows = table[gen_t]
+    return [list(r) for r in rows]
 
 
 def tensor_to_tokens(cfg, exp, t: np.ndarray, probs: bool) -> List[List[str]]:
@@ -79,7 +85,8 @@ def tensor_to_tokens(cfg, exp, t: np.ndarray, probs: bool) -> List[List[str]]:
             i2w = {str(i): f"w{i}" for i in range(cfg.vocab_size)}
         idx = np.argmax(t, axis=-1) if (probs and t.ndim == 3) else t
         return [[i2w.get(str(int(i)), UNK_CHAR) for i in row] for row in idx.astype(np.int64)]
-    toks = tensor_to_text(t, one_hot=True)
+    # char: accept either one-hot/prob [B,L,A] or pre-argmaxed id [B,L]
+    toks = tensor_to_text(t, one_hot=(np.asarray(t).ndim == 3))
     # char mode: split decoded strings into words for corpus BLEU
     return [
         "".join(row).split() for row in toks

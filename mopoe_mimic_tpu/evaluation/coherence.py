@@ -112,7 +112,8 @@ def test_generation(exp, state, evaluator: CoherenceEvaluator, max_batches: int 
 
     rand_coherences = []
     cond_results = []
-    gen_texts, ref_texts = [], []
+    gen_text_ids: Dict[str, list] = {}
+    ref_text_ids = []
     for i, (batch, labels) in enumerate(test_loader):
         if max_batches and i >= max_batches:
             break
@@ -128,10 +129,17 @@ def test_generation(exp, state, evaluator: CoherenceEvaluator, max_batches: int 
         cond_results.append(
             evaluator.classify_cond_gen(cond, np.nan_to_num(labels), exp.labels)
         )
-        # text quality of the full-subset conditional generation
-        full_key = "_".join(sorted(cfg.modality_names))
-        gen_texts.append(np.asarray(cond[full_key]["text"]))
-        ref_texts.append(np.asarray(batch["text"]))
+        # text quality PER conditioning subset (evaluate_generated_text is
+        # per subset, coherence.py:296-311); argmax on device so only the
+        # [B, L] int id arrays come home, not [B, L, vocab] probabilities
+        for s_key, gen in cond.items():
+            gen_text_ids.setdefault(s_key, []).append(
+                np.asarray(jnp.argmax(gen["text"], axis=-1), dtype=np.int32)
+            )
+        ref = batch["text"]
+        if ref.ndim == 3:  # char one-hot → ids
+            ref = jnp.argmax(ref, axis=-1)
+        ref_text_ids.append(np.asarray(ref, dtype=np.int32))
 
     # average over batches
     def avg_nested(dicts):
@@ -152,18 +160,34 @@ def test_generation(exp, state, evaluator: CoherenceEvaluator, max_batches: int 
         "random_coherence": avg_nested(rand_coherences),
         "cond_coherence": avg_nested(cond_results),
     }
-    results.update(_text_bleu(cfg, exp, np.concatenate(gen_texts), np.concatenate(ref_texts)))
+    if ref_text_ids:
+        text_eval = _text_bleu_per_subset(
+            cfg, exp, gen_text_ids, np.concatenate(ref_text_ids)
+        )
+        if text_eval:
+            results["text_gen"] = text_eval
     return results
 
 
-def _text_bleu(cfg: MopoeConfig, exp, gen: np.ndarray, ref: np.ndarray) -> Dict[str, float]:
-    """Decode generated/reference text tensors and compute corpus BLEU."""
+def _text_bleu_per_subset(
+    cfg: MopoeConfig, exp, gen_ids: Mapping[str, list], ref_ids: np.ndarray
+) -> Dict[str, Dict[str, float]]:
+    """{subset: {bleu_1..4, bleu, nbr_common_words}} — the reference's
+    evaluate_generated_text quintuple + common-word overlap per subset
+    (coherence.py:296-311). Inputs are pre-argmaxed id arrays; the
+    reference text is decoded ONCE and shared across subsets."""
     from mopoe_mimic_tpu.data.text_codec import tensor_to_tokens
+    from mopoe_mimic_tpu.evaluation.bleu import nbr_common_words
 
     try:
-        hyp = tensor_to_tokens(cfg, exp, gen, probs=True)
-        refs = tensor_to_tokens(cfg, exp, ref, probs=False)
+        refs = tensor_to_tokens(cfg, exp, ref_ids, probs=False)
     except Exception as e:  # vocab may be absent on synthetic data
         log.debug(f"text decode for BLEU skipped: {e}")
         return {}
-    return corpus_bleu(refs, hyp)
+    out: Dict[str, Dict[str, float]] = {}
+    for s_key, parts in gen_ids.items():
+        hyp = tensor_to_tokens(cfg, exp, np.concatenate(parts), probs=False)
+        scores = corpus_bleu(refs, hyp)
+        scores["nbr_common_words"] = nbr_common_words(refs, hyp)
+        out[s_key] = scores
+    return out

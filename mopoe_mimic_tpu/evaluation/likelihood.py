@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Dict, Mapping, Tuple
+from typing import Dict, Mapping, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -67,8 +67,22 @@ def _mod_log_prob(cfg: MopoeConfig, name: str, rec, target):
 
 def make_subset_likelihood_fn(cfg: MopoeConfig, model, subset_key: str, n_imp: int = None):
     """Jitted fn(params, batch_stats, batch, rng) → {mod: ll, 'joint': ll}
-    for one subset (static key)."""
+    for one subset (static key).
+
+    Factorized representation (style dims > 0): style posteriors join the
+    importance weights exactly like the reference (utils/likelihood.py:
+    95-131, 163-211) — a modality IN the subset contributes its encoded
+    style posterior; a modality outside it gets the N(0, I) 'random style
+    dist' (VAEtrimodalMimic.py:109-123), whose log q and log p cancel in
+    the weight while its prior style sample still drives the decode. The
+    marginal for modality m includes m's style term only when m ∈ subset
+    (likelihood.py:80); the joint includes every modality's. (Deviation:
+    the reference's style-linearization loop reuses a leaked variable,
+    likelihood.py:50-52, duplicating one modality's style across all —
+    a bug we do not replicate; PARITY.md deviations table.)
+    """
     n_imp = n_imp or cfg.num_imp_samples
+    members = set(subset_key.split("_"))
 
     @jax.jit
     def estimate(params, batch_stats, batch, rng):
@@ -79,35 +93,67 @@ def make_subset_likelihood_fn(cfg: MopoeConfig, model, subset_key: str, n_imp: i
         )
         mu, logvar = latents["subsets"][subset_key]
         b, d = mu.shape
-        mu_rep = jnp.broadcast_to(mu, (n_imp, b, d)).reshape(n_imp * b, d)
-        lv_rep = jnp.broadcast_to(logvar, (n_imp, b, d)).reshape(n_imp * b, d)
-        eps = jax.random.normal(rng, mu_rep.shape, dtype=mu_rep.dtype)
+
+        def rep(a):  # [B, ...] → [K·B, ...] with K the leading repeat
+            return jnp.broadcast_to(a, (n_imp,) + a.shape).reshape(
+                (n_imp * a.shape[0],) + a.shape[1:]
+            )
+
+        rng, r_c = jax.random.split(rng)
+        mu_rep, lv_rep = rep(mu), rep(logvar)
+        eps = jax.random.normal(r_c, mu_rep.shape, dtype=mu_rep.dtype)
         z = mu_rep + eps * jnp.exp(0.5 * lv_rep)
 
+        # ---- style latents (factorized representation only) --------------
+        style_z: Dict[str, Optional[jnp.ndarray]] = {m: None for m in cfg.modality_names}
+        style_term: Dict[str, jnp.ndarray] = {}  # log p_style - log q_style
+        factorized = cfg.factorized_representation and any(
+            cfg.style_dims[m] for m in cfg.modality_names
+        )
+        if factorized:
+            for m_key in cfg.modality_names:
+                sd = cfg.style_dims[m_key]
+                if not sd:
+                    continue
+                if m_key in members:
+                    s_mu, s_lv = latents["styles"][m_key]
+                else:  # random style dist = N(0, I) posterior → terms cancel
+                    s_mu = jnp.zeros((b, sd), dtype=mu.dtype)
+                    s_lv = jnp.zeros((b, sd), dtype=mu.dtype)
+                rng, r_s = jax.random.split(rng)
+                s_mu_r, s_lv_r = rep(s_mu), rep(s_lv)
+                eps_s = jax.random.normal(r_s, s_mu_r.shape, dtype=s_mu_r.dtype)
+                z_s = s_mu_r + eps_s * jnp.exp(0.5 * s_lv_r)
+                style_z[m_key] = z_s
+                style_term[m_key] = unit_gaussian_log_pdf(z_s) - gaussian_log_pdf(
+                    z_s, s_mu_r, s_lv_r
+                )
+
         gen = model.apply(
-            variables, z, None, False,
+            variables, z, style_z, False,
             method=lambda m, zc, styles, train: {
-                mod: m.decoders[mod](zc, None, train=train)
+                mod: m.decoders[mod](zc, styles[mod], train=train)
                 for mod in m.config.modality_names
             },
         )
 
         log_q = gaussian_log_pdf(z, mu_rep, lv_rep)
         log_p_z = unit_gaussian_log_pdf(z)
+        content_term = log_p_z - log_q
 
         out: Dict[str, jnp.ndarray] = {}
         log_px_sum = 0.0
+        style_term_sum = sum(style_term.values()) if style_term else 0.0
         for m_key in cfg.modality_names:
-            target = batch[m_key]
-            rep_shape = (n_imp,) + target.shape
-            tgt = jnp.broadcast_to(target, rep_shape).reshape(
-                (n_imp * b,) + target.shape[1:]
-            )
+            tgt = rep(batch[m_key])
             log_px = _mod_log_prob(cfg, m_key, gen[m_key], tgt)
             log_px_sum = log_px_sum + log_px
-            lw = (log_px + log_p_z - log_q).reshape(n_imp, b).T  # [B, K]
+            # marginal: style term only for the evaluated modality, and
+            # only when it is part of the conditioning subset
+            s_term = style_term.get(m_key, 0.0) if m_key in members else 0.0
+            lw = (log_px + content_term + s_term).reshape(n_imp, b).T  # [B, K]
             out[m_key] = jnp.mean(log_mean_exp(lw, axis=1))
-        lw_joint = (log_px_sum + log_p_z - log_q).reshape(n_imp, b).T
+        lw_joint = (log_px_sum + content_term + style_term_sum).reshape(n_imp, b).T
         out["joint"] = jnp.mean(log_mean_exp(lw_joint, axis=1))
         return out
 

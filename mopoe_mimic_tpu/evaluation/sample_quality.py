@@ -13,8 +13,10 @@ TPU-first deviations (documented):
     chest-X-ray features; an Inception embedding can be dropped in when
     its weights are available.
   * The Fréchet-distance and PRD math (cluster histograms + f_beta curve)
-    are re-derived in numpy/sklearn below, matching the published
-    algorithms the vendored code implements.
+    are re-derived below, matching the published algorithms the vendored
+    code implements; the PRD k-means runs ALL restarts as one jitted XLA
+    program (k-means++ via the Gumbel trick + Lloyd as matmuls) instead of
+    sklearn's per-restart host loop.
   * Samples stream device→host in memory; no PNG round-trip through disk
     (the reference writes sample dirs and re-reads them,
     save_samples.py:32-46 / sample_quality.py:12-34).
@@ -26,7 +28,6 @@ from typing import Callable, Dict, Tuple
 
 import numpy as np
 from scipy import linalg
-from sklearn.cluster import KMeans
 
 
 # ---------------------------------------------------------------------------
@@ -70,14 +71,78 @@ def compute_prd(ref_hist: np.ndarray, eval_hist: np.ndarray, num_angles: int = 1
     return np.clip(precision, 0, 1), np.clip(recall, 0, 1)
 
 
+def _kmeans_labels_batched(X: np.ndarray, num_clusters: int, num_runs: int,
+                           seed: int, iters: int = 25) -> np.ndarray:
+    """[R, N] cluster labels for R independent k-means restarts, computed
+    as ONE jitted XLA program (k-means++ init via the Gumbel trick, then
+    Lloyd iterations; distances as a single matmul so the MXU does the
+    work). Replaces sklearn's per-restart host loop — the 10-restart ×
+    ~22-pair PRD pass was the dominant host cost of an eval round
+    (147-195 s, RESULTS_r2_devstore; VERDICT r2 #3)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("k", "iters"))
+    def run(Xd, keys, k, iters):
+        n = Xd.shape[0]
+        x2 = jnp.sum(Xd * Xd, axis=1)  # [N]
+
+        def pair_d2(centers):  # [k, D] → [N, k] squared distances
+            c2 = jnp.sum(centers * centers, axis=1)
+            return x2[:, None] + c2[None, :] - 2.0 * (Xd @ centers.T)
+
+        def one(key):
+            key, k0 = jax.random.split(key)
+            first = jax.random.randint(k0, (), 0, n)
+            c0 = Xd[first]
+            centers = jnp.zeros((k, Xd.shape[1]), Xd.dtype).at[0].set(c0)
+            d2 = x2 + jnp.sum(c0 * c0) - 2.0 * (Xd @ c0)
+
+            def init_body(j, carry):
+                centers, d2, key = carry
+                key, kj = jax.random.split(key)
+                # sample ∝ d2 (k-means++) without a host round-trip:
+                # argmax(log d2 + Gumbel) == categorical(p ∝ d2)
+                g = jax.random.gumbel(kj, (n,), Xd.dtype)
+                idx = jnp.argmax(jnp.log(jnp.maximum(d2, 1e-12)) + g)
+                c = Xd[idx]
+                centers = centers.at[j].set(c)
+                d2 = jnp.minimum(d2, x2 + jnp.sum(c * c) - 2.0 * (Xd @ c))
+                return centers, d2, key
+
+            centers, _, key = jax.lax.fori_loop(
+                1, k, init_body, (centers, d2, key)
+            )
+
+            def lloyd(_, centers):
+                lab = jnp.argmin(pair_d2(centers), axis=1)
+                onehot = jax.nn.one_hot(lab, k, dtype=Xd.dtype)  # [N, k]
+                counts = onehot.sum(axis=0)
+                sums = onehot.T @ Xd  # [k, D]
+                return jnp.where(
+                    counts[:, None] > 0,
+                    sums / jnp.maximum(counts, 1.0)[:, None],
+                    centers,
+                )
+
+            centers = jax.lax.fori_loop(0, iters, lloyd, centers)
+            return jnp.argmin(pair_d2(centers), axis=1)
+
+        return jax.vmap(one)(keys)
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), num_runs)
+    labels = run(jnp.asarray(X, jnp.float32), keys, num_clusters, iters)
+    return np.asarray(labels)
+
+
 def cluster_into_bins(eval_data: np.ndarray, ref_data: np.ndarray,
                       num_clusters: int, seed: int) -> Tuple[np.ndarray, np.ndarray]:
     """Cluster the union, histogram each set over cluster ids."""
     both = np.concatenate([eval_data, ref_data])
     # tiny sample sets (smoke evals) can't support the canonical 20 bins
     num_clusters = min(num_clusters, max(2, len(both) // 4))
-    km = KMeans(n_clusters=num_clusters, n_init=1, random_state=seed)
-    labels = km.fit_predict(both)
+    labels = _kmeans_labels_batched(both, num_clusters, num_runs=1, seed=seed)[0]
     e = np.bincount(labels[: len(eval_data)], minlength=num_clusters)
     r = np.bincount(labels[len(eval_data):], minlength=num_clusters)
     return e / e.sum(), r / r.sum()
@@ -87,16 +152,20 @@ def compute_prd_from_embedding(eval_data: np.ndarray, ref_data: np.ndarray,
                                num_clusters: int = 20, num_runs: int = 10,
                                seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
     """Average the PRD *curves* over k-means restarts (cluster ids are
-    arbitrary per run, so histograms must not be averaged across runs)."""
-    rng = np.random.default_rng(seed)
+    arbitrary per run, so histograms must not be averaged across runs).
+    All restarts run inside one jitted program; only the [R, N] label
+    matrix comes back to the host."""
+    both = np.concatenate([eval_data, ref_data])
+    num_clusters = min(num_clusters, max(2, len(both) // 4))
+    labels = _kmeans_labels_batched(both, num_clusters, num_runs, seed)
+    n_eval = len(eval_data)
     ps, rs = [], []
-    for _ in range(num_runs):
-        e_hist, r_hist = cluster_into_bins(
-            eval_data, ref_data, num_clusters, int(rng.integers(0, 2 ** 31))
-        )
-        p, r = compute_prd(r_hist, e_hist)
+    for lab in labels:
+        e = np.bincount(lab[:n_eval], minlength=num_clusters)
+        r = np.bincount(lab[n_eval:], minlength=num_clusters)
+        p, rec = compute_prd(r / r.sum(), e / e.sum())
         ps.append(p)
-        rs.append(r)
+        rs.append(rec)
     return np.mean(ps, axis=0), np.mean(rs, axis=0)
 
 

@@ -52,6 +52,11 @@ class Main:
             raise
         finally:
             exp.tb_logger.close()
+            if exp.checkpoints is not None:
+                # shut orbax's async machinery down BEFORE interpreter
+                # teardown — a live background executor at exit raises
+                # "cannot schedule new futures after shutdown"
+                exp.checkpoints.close()
 
     def _wipe(self, exp: Experiment) -> None:
         log.warning(f"wiping failed experiment dir {exp.paths['experiment_run']}")

@@ -36,10 +36,24 @@ class ClfState:
 
 def make_classifier(cfg: MopoeConfig, modality: str, n_labels: int):
     if modality == "text":
+        # the classifier consumes this experiment's text tensors (and the
+        # VAE's generated text), so its encoding MUST follow the data's.
+        # text_clf_type is honored when it agrees; a mismatch (e.g. the
+        # default word clf on a char-encoded run) would feed a word
+        # embedding one-hot char tensors — warn and follow the data.
+        enc = cfg.text_clf_type
+        if enc not in ("char", "word") or enc != cfg.text_encoding:
+            if enc in ("char", "word"):
+                log.warning(
+                    f"text_clf_type={enc!r} does not match "
+                    f"text_encoding={cfg.text_encoding!r}; the coherence "
+                    f"classifier follows the data encoding"
+                )
+            enc = cfg.text_encoding
         return ClfText(
             n_labels=n_labels,
             dim=cfg.DIM_text,
-            text_encoding=cfg.text_clf_type if cfg.text_clf_type in ("char", "word") else cfg.text_encoding,
+            text_encoding=enc,
             num_features=cfg.num_features,
             vocab_size=cfg.vocab_size,
             len_sequence=cfg.len_sequence,

@@ -87,3 +87,27 @@ def test_grid_search_clf_smoke(tmp_path):
     )
     assert len(df) == 2 and (tmp_path / "grid.csv").exists()
     assert "initial_learning_rate" in df.columns
+
+
+def test_text_clf_follows_data_encoding():
+    """A char-encoded run must get a char text classifier even though
+    text_clf_type defaults to 'word' — the mismatch fed a word embedding
+    one-hot char tensors and crashed Dense init (found by CLI drive r3)."""
+    import jax
+    import numpy as np
+
+    from mopoe_mimic_tpu.config import MopoeConfig
+    from mopoe_mimic_tpu.train.clf_trainer import make_classifier
+
+    cfg = MopoeConfig(dataset="testing", batch_size=4, class_dim=4, DIM_img=2,
+                      DIM_text=2, img_size=64, text_encoding="char",
+                      compute_dtype="float32")
+    assert cfg.text_clf_type == "word"  # the mismatched default
+    model = make_classifier(cfg, "text", 3)
+    assert model.text_encoding == "char"
+    x = np.zeros((2, cfg.len_sequence, 71), np.float32)
+    x[:, :, 0] = 1.0
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}, x, train=True)
+    probs = model.apply(v, x, train=False)
+    assert probs.shape == (2, 3)

@@ -50,6 +50,37 @@ def test_gather_sharded_over_mesh():
     assert batch["PA"].sharding.spec[0] == cfg.data_axis
 
 
+def test_row_sharded_store_matches_replicated():
+    """Multi-host store path (VERDICT r2 #6): rows sharded over the mesh's
+    data axis (each process would upload only its shard) must gather
+    byte-identical batches to the replicated single-host store — including
+    a length that does NOT divide the device count (padding path)."""
+    cfg = _cfg()
+    mesh = make_mesh(cfg)
+    ds = SyntheticMimic(cfg, seed=0, length=19)  # 19 % 8 != 0 → padding
+    rep = DeviceStore(ds, cfg, mesh=mesh)
+    shd = DeviceStore(ds, cfg, mesh=mesh, shard_rows=True)
+    # per-column storage is 1/n_dev per device (here: same process owns all)
+    assert shd.shard_rows
+    idx = np.array([0, 5, 18, 3, 7, 11, 2, 16])
+    a = jax.device_get(rep.gather(idx))
+    b = jax.device_get(shd.gather(idx))
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])
+    # batches still come out sharded along the data axis
+    batch = shd.gather(idx)
+    assert batch["PA"].sharding.spec[0] == cfg.data_axis
+    # and the sharded store feeds the sharded train step
+    from mopoe_mimic_tpu.train import create_train_state, make_train_step
+    from mopoe_mimic_tpu.parallel.mesh import replicate_state
+
+    b0, _ = next(shd.iter_epoch(0, 8))
+    state = replicate_state(mesh, create_train_state(cfg, jax.random.PRNGKey(0), b0))
+    step = make_train_step(cfg)
+    _, metrics = step(state, b0)
+    assert np.isfinite(float(metrics["total_loss"]))
+
+
 def test_iter_epoch_covers_and_reshuffles():
     cfg = _cfg()
     ds = SyntheticMimic(cfg, seed=0, length=24)

@@ -39,6 +39,88 @@ def test_corpus_bleu_identity_and_mismatch():
     assert common_word_count(refs[0], ["the", "zz"]) == 1
 
 
+def _nltk_quintuple(refs, hyps):
+    """The reference's exact five calls (coherence.py:302-310): nltk
+    corpus_bleu with per-n weights + cumulative, method4 smoothing."""
+    from nltk.translate.bleu_score import SmoothingFunction
+    from nltk.translate.bleu_score import corpus_bleu as nltk_bleu
+
+    cc = SmoothingFunction()
+    wrapped = [[r] for r in refs]  # one reference per hypothesis
+    return {
+        "bleu_1": nltk_bleu(wrapped, hyps, weights=(1, 0, 0, 0),
+                            smoothing_function=cc.method4),
+        "bleu_2": nltk_bleu(wrapped, hyps, weights=(0, 1, 0, 0),
+                            smoothing_function=cc.method4),
+        "bleu_3": nltk_bleu(wrapped, hyps, weights=(0, 0, 1, 0),
+                            smoothing_function=cc.method4),
+        "bleu_4": nltk_bleu(wrapped, hyps, weights=(0, 0, 0, 1),
+                            smoothing_function=cc.method4),
+        "bleu": nltk_bleu(wrapped, hyps, smoothing_function=cc.method4),
+    }
+
+
+def test_corpus_bleu_golden_vs_nltk():
+    """Golden parity (VERDICT r2 #2): our one-pass corpus BLEU equals
+    nltk's corpus_bleu(weights, smoothing_function=method4) on fixed token
+    sets covering partial overlap, zero higher-order matches (smoothing
+    path), brevity penalty, and empty hypotheses."""
+    pytest = __import__("pytest")
+    pytest.importorskip("nltk")
+
+    cases = [
+        # partial overlap, realistic report-like sentences
+        (
+            [["no", "focal", "consolidation", "pleural", "effusion", "or",
+              "pneumothorax"],
+             ["mild", "pulmonary", "edema", "with", "small", "effusions"],
+             ["the", "lungs", "are", "clear"]],
+            [["no", "consolidation", "pleural", "effusion", "seen"],
+             ["pulmonary", "edema", "with", "effusions", "noted", "today"],
+             ["lungs", "clear"]],
+        ),
+        # exact match
+        (
+            [["a", "b", "c", "d", "e"]],
+            [["a", "b", "c", "d", "e"]],
+        ),
+        # unigram-only overlap → bleu_2..4 exercise method4 smoothing
+        (
+            [["a", "x", "b", "y", "c"]],
+            [["a", "q", "b", "r", "c"]],
+        ),
+        # short hypothesis → brevity penalty < 1
+        (
+            [["a", "b", "c", "d", "e", "f", "g", "h"]],
+            [["a", "b", "c"]],
+        ),
+        # an empty hypothesis mixed in (denominator-min-1 quirk)
+        (
+            [["a", "b", "c"], ["d", "e", "f"]],
+            [["a", "b", "c"], []],
+        ),
+        # repeated tokens (clipping path)
+        (
+            [["the", "the", "cat"]],
+            [["the", "the", "the", "the"]],
+        ),
+    ]
+    for refs, hyps in cases:
+        ours = corpus_bleu(refs, hyps)
+        golden = _nltk_quintuple(refs, hyps)
+        for k, v in golden.items():
+            assert abs(ours[k] - v) < 1e-12, (k, ours[k], v, refs, hyps)
+
+
+def test_nbr_common_words():
+    from mopoe_mimic_tpu.evaluation.bleu import nbr_common_words
+
+    refs = [["a", "b", "c"], ["d", "e"]]
+    hyps = [["a", "c", "x"], ["q"]]
+    # per-sample overlaps: 2 and 0 → mean 1.0 (coherence.py:303)
+    assert nbr_common_words(refs, hyps) == 1.0
+
+
 def test_fid_zero_for_identical_sets():
     rng = np.random.default_rng(0)
     acts = rng.normal(size=(200, 8))
