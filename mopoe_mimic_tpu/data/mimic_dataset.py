@@ -72,8 +72,12 @@ class MimicDataset:
         # the toy dir selection in dataio)
         prefix = "toy_files_small" if cfg.use_toy_dataset else "files_small"
         base = Path(cfg.dir_data).expanduser() / f"{prefix}_{cfg.img_size}"
-        self.imgs_pa = _load_images(base, split, "pa")
-        self.imgs_lat = _load_images(base, split, "lat")
+        # text-only mode (VAETextMimic twin / reference MimicText,
+        # MimicDataset.py:131-205): don't touch the image stores at all
+        self.imgs_pa = self.imgs_lat = None
+        if not cfg.only_text_modality:
+            self.imgs_pa = _load_images(base, split, "pa")
+            self.imgs_lat = _load_images(base, split, "lat")
         self.report_findings = pd.read_csv(base / f"{split}_findings.csv")["findings"]
         labels_df = pd.read_csv(base / f"{split}_labels.csv")[self.str_labels].fillna(0)
         labels_df = filter_labels(
@@ -164,21 +168,16 @@ class MimicDataset:
 
     def __getitem__(self, idx: int) -> Tuple[Dict[str, np.ndarray], np.ndarray]:
         ds_index = int(self.row_index[idx])
-        sample = {
-            "PA": self._img(self.imgs_pa, ds_index),
-            "Lateral": self._img(self.imgs_lat, ds_index),
-            "text": self._encode_text(ds_index),
-        }
+        sample = {"text": self._encode_text(ds_index)}
+        if self.imgs_pa is not None:
+            sample["PA"] = self._img(self.imgs_pa, ds_index)
+            sample["Lateral"] = self._img(self.imgs_lat, ds_index)
         return sample, self.labels[idx]
 
     @property
     def arrays(self) -> Dict[str, "_Column"]:
         """Column views compatible with BatchLoader's fancy indexing."""
-        return {
-            "PA": _Column(self, "PA"),
-            "Lateral": _Column(self, "Lateral"),
-            "text": _Column(self, "text"),
-        }
+        return {m: _Column(self, m) for m in self.cfg.modality_names}
 
 
 class _Column:

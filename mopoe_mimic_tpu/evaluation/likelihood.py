@@ -65,9 +65,9 @@ def _mod_log_prob(cfg: MopoeConfig, name: str, rec, target):
     return jnp.sum(lp.reshape(lp.shape[0], -1), axis=1)
 
 
-def make_subset_likelihood_fn(cfg: MopoeConfig, model, subset_key: str, n_imp: int = None):
-    """Jitted fn(params, batch_stats, batch, rng) → {mod: ll, 'joint': ll}
-    for one subset (static key).
+def _subset_estimate(cfg: MopoeConfig, model, variables, latents, batch,
+                     subset_key: str, n_imp: int, rng):
+    """IWAE estimate for one subset, given shared inference outputs.
 
     Factorized representation (style dims > 0): style posteriors join the
     importance weights exactly like the reference (utils/likelihood.py:
@@ -81,81 +81,108 @@ def make_subset_likelihood_fn(cfg: MopoeConfig, model, subset_key: str, n_imp: i
     likelihood.py:50-52, duplicating one modality's style across all —
     a bug we do not replicate; PARITY.md deviations table.)
     """
-    n_imp = n_imp or cfg.num_imp_samples
     members = set(subset_key.split("_"))
+    mu, logvar = latents["subsets"][subset_key]
+    b, d = mu.shape
+
+    def rep(a):  # [B, ...] → [K·B, ...] with K the leading repeat
+        return jnp.broadcast_to(a, (n_imp,) + a.shape).reshape(
+            (n_imp * a.shape[0],) + a.shape[1:]
+        )
+
+    rng, r_c = jax.random.split(rng)
+    mu_rep, lv_rep = rep(mu), rep(logvar)
+    eps = jax.random.normal(r_c, mu_rep.shape, dtype=mu_rep.dtype)
+    z = mu_rep + eps * jnp.exp(0.5 * lv_rep)
+
+    # ---- style latents (factorized representation only) --------------
+    style_z: Dict[str, Optional[jnp.ndarray]] = {m: None for m in cfg.modality_names}
+    style_term: Dict[str, jnp.ndarray] = {}  # log p_style - log q_style
+    factorized = cfg.factorized_representation and any(
+        cfg.style_dims[m] for m in cfg.modality_names
+    )
+    if factorized:
+        for m_key in cfg.modality_names:
+            sd = cfg.style_dims[m_key]
+            if not sd:
+                continue
+            if m_key in members:
+                s_mu, s_lv = latents["styles"][m_key]
+            else:  # random style dist = N(0, I) posterior → terms cancel
+                s_mu = jnp.zeros((b, sd), dtype=mu.dtype)
+                s_lv = jnp.zeros((b, sd), dtype=mu.dtype)
+            rng, r_s = jax.random.split(rng)
+            s_mu_r, s_lv_r = rep(s_mu), rep(s_lv)
+            eps_s = jax.random.normal(r_s, s_mu_r.shape, dtype=s_mu_r.dtype)
+            z_s = s_mu_r + eps_s * jnp.exp(0.5 * s_lv_r)
+            style_z[m_key] = z_s
+            style_term[m_key] = unit_gaussian_log_pdf(z_s) - gaussian_log_pdf(
+                z_s, s_mu_r, s_lv_r
+            )
+
+    gen = model.apply(
+        variables, z, style_z, False,
+        method=lambda m, zc, styles, train: {
+            mod: m.decoders[mod](zc, styles[mod], train=train)
+            for mod in m.config.modality_names
+        },
+    )
+
+    log_q = gaussian_log_pdf(z, mu_rep, lv_rep)
+    log_p_z = unit_gaussian_log_pdf(z)
+    content_term = log_p_z - log_q
+
+    out: Dict[str, jnp.ndarray] = {}
+    log_px_sum = 0.0
+    style_term_sum = sum(style_term.values()) if style_term else 0.0
+    for m_key in cfg.modality_names:
+        tgt = rep(batch[m_key])
+        log_px = _mod_log_prob(cfg, m_key, gen[m_key], tgt)
+        log_px_sum = log_px_sum + log_px
+        # marginal: style term only for the evaluated modality, and
+        # only when it is part of the conditioning subset
+        s_term = style_term.get(m_key, 0.0) if m_key in members else 0.0
+        lw = (log_px + content_term + s_term).reshape(n_imp, b).T  # [B, K]
+        out[m_key] = jnp.mean(log_mean_exp(lw, axis=1))
+    lw_joint = (log_px_sum + content_term + style_term_sum).reshape(n_imp, b).T
+    out["joint"] = jnp.mean(log_mean_exp(lw_joint, axis=1))
+    return out
+
+
+def make_likelihood_fn(cfg: MopoeConfig, model, subset_keys, n_imp: int = None):
+    """ONE jitted fn(params, batch_stats, batch, rng) → {subset: {mod:
+    ll, 'joint': ll}} for ALL subsets: inference runs once and its
+    posteriors feed every subset's estimate (the reference computes
+    latents once per batch too, likelihood.py:113-118 — a per-subset
+    re-encode would be 2^M-1 redundant encoder passes and as many
+    dispatches per batch)."""
+    n_imp = n_imp or cfg.num_imp_samples
+    keys = tuple(subset_keys)
 
     @jax.jit
-    def estimate(params, batch_stats, batch, rng):
+    def estimate_all(params, batch_stats, batch, rng):
         variables = {"params": params, "batch_stats": batch_stats}
         latents = model.apply(
             variables, batch, train=False,
             method=lambda m, b, train: m.inference(b, train=train),
         )
-        mu, logvar = latents["subsets"][subset_key]
-        b, d = mu.shape
-
-        def rep(a):  # [B, ...] → [K·B, ...] with K the leading repeat
-            return jnp.broadcast_to(a, (n_imp,) + a.shape).reshape(
-                (n_imp * a.shape[0],) + a.shape[1:]
+        out = {}
+        for s_key in keys:
+            rng, r = jax.random.split(rng)
+            out[s_key] = _subset_estimate(
+                cfg, model, variables, latents, batch, s_key, n_imp, r
             )
-
-        rng, r_c = jax.random.split(rng)
-        mu_rep, lv_rep = rep(mu), rep(logvar)
-        eps = jax.random.normal(r_c, mu_rep.shape, dtype=mu_rep.dtype)
-        z = mu_rep + eps * jnp.exp(0.5 * lv_rep)
-
-        # ---- style latents (factorized representation only) --------------
-        style_z: Dict[str, Optional[jnp.ndarray]] = {m: None for m in cfg.modality_names}
-        style_term: Dict[str, jnp.ndarray] = {}  # log p_style - log q_style
-        factorized = cfg.factorized_representation and any(
-            cfg.style_dims[m] for m in cfg.modality_names
-        )
-        if factorized:
-            for m_key in cfg.modality_names:
-                sd = cfg.style_dims[m_key]
-                if not sd:
-                    continue
-                if m_key in members:
-                    s_mu, s_lv = latents["styles"][m_key]
-                else:  # random style dist = N(0, I) posterior → terms cancel
-                    s_mu = jnp.zeros((b, sd), dtype=mu.dtype)
-                    s_lv = jnp.zeros((b, sd), dtype=mu.dtype)
-                rng, r_s = jax.random.split(rng)
-                s_mu_r, s_lv_r = rep(s_mu), rep(s_lv)
-                eps_s = jax.random.normal(r_s, s_mu_r.shape, dtype=s_mu_r.dtype)
-                z_s = s_mu_r + eps_s * jnp.exp(0.5 * s_lv_r)
-                style_z[m_key] = z_s
-                style_term[m_key] = unit_gaussian_log_pdf(z_s) - gaussian_log_pdf(
-                    z_s, s_mu_r, s_lv_r
-                )
-
-        gen = model.apply(
-            variables, z, style_z, False,
-            method=lambda m, zc, styles, train: {
-                mod: m.decoders[mod](zc, styles[mod], train=train)
-                for mod in m.config.modality_names
-            },
-        )
-
-        log_q = gaussian_log_pdf(z, mu_rep, lv_rep)
-        log_p_z = unit_gaussian_log_pdf(z)
-        content_term = log_p_z - log_q
-
-        out: Dict[str, jnp.ndarray] = {}
-        log_px_sum = 0.0
-        style_term_sum = sum(style_term.values()) if style_term else 0.0
-        for m_key in cfg.modality_names:
-            tgt = rep(batch[m_key])
-            log_px = _mod_log_prob(cfg, m_key, gen[m_key], tgt)
-            log_px_sum = log_px_sum + log_px
-            # marginal: style term only for the evaluated modality, and
-            # only when it is part of the conditioning subset
-            s_term = style_term.get(m_key, 0.0) if m_key in members else 0.0
-            lw = (log_px + content_term + s_term).reshape(n_imp, b).T  # [B, K]
-            out[m_key] = jnp.mean(log_mean_exp(lw, axis=1))
-        lw_joint = (log_px_sum + content_term + style_term_sum).reshape(n_imp, b).T
-        out["joint"] = jnp.mean(log_mean_exp(lw_joint, axis=1))
         return out
+
+    return estimate_all
+
+
+def make_subset_likelihood_fn(cfg: MopoeConfig, model, subset_key: str, n_imp: int = None):
+    """Single-subset convenience wrapper over make_likelihood_fn."""
+    fn = make_likelihood_fn(cfg, model, (subset_key,), n_imp)
+
+    def estimate(params, batch_stats, batch, rng):
+        return fn(params, batch_stats, batch, rng)[subset_key]
 
     return estimate
 
@@ -166,20 +193,19 @@ def estimate_likelihoods(exp, state, mesh=None, max_batches: int = 0) -> Dict[st
     cfg = exp.cfg
     test_loader = exp.eval_batches("test")  # device-resident when enabled
     rng = jax.random.PRNGKey((cfg.seed or 0) + 31)
-    fns = {
-        s_key: make_subset_likelihood_fn(cfg, exp.model, s_key)
-        for s_key in exp.subsets
-    }
+    subset_keys = list(exp.subsets)
+    fn = make_likelihood_fn(cfg, exp.model, subset_keys)
     sums: Dict[str, Dict[str, float]] = {
-        s: {m: 0.0 for m in list(cfg.modality_names) + ["joint"]} for s in fns
+        s: {m: 0.0 for m in list(cfg.modality_names) + ["joint"]}
+        for s in subset_keys
     }
     count = 0
     for i, (batch, _labels) in enumerate(test_loader):
         if max_batches and i >= max_batches:
             break
-        for s_key, fn in fns.items():
-            rng, r = jax.random.split(rng)
-            vals = jax.device_get(fn(state.params, state.batch_stats, batch, r))
+        rng, r = jax.random.split(rng)
+        all_vals = jax.device_get(fn(state.params, state.batch_stats, batch, r))
+        for s_key, vals in all_vals.items():
             for m_key, v in vals.items():
                 sums[s_key][m_key] += float(v)
         count += 1
