@@ -339,9 +339,9 @@ class MopoeConfig:
             name = f"--{f.name}"
             if f.type in ("bool", bool):
                 p.add_argument(name, type=_str2bool, default=None)
-            elif f.type in ("int", int):
+            elif f.type in ("int", int, "Optional[int]"):
                 p.add_argument(name, type=int, default=None)
-            elif f.type in ("float", float):
+            elif f.type in ("float", float, "Optional[float]"):
                 p.add_argument(name, type=float, default=None)
             elif f.name == "mesh_shape":
                 p.add_argument(name, type=_int_tuple, default=None)

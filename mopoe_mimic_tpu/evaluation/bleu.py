@@ -100,14 +100,7 @@ def _weighted_score(p_n: List[float], weights: Sequence[float], bp: float) -> fl
     return bp * math.exp(s)
 
 
-def corpus_bleu(
-    references: List[Sequence[str]], hypotheses: List[Sequence[str]]
-) -> Dict[str, float]:
-    """nltk-equal corpus BLEU report: per-n scores ``bleu_1..4`` (weight
-    vectors (1,0,0,0)…(0,0,0,1)), cumulative ``bleu`` ((0.25,)*4), all
-    under method4 smoothing — the exact quintuple the reference logs
-    (coherence.py:302-310)."""
-    nums, dens, hyp_len, ref_len = _corpus_counts(references, hypotheses)
+def _scores_from_counts(nums, dens, hyp_len: int, ref_len: int) -> Dict[str, float]:
     if nums[0] == 0:
         # nltk: no unigram matches → every score is 0 (smoothing never runs)
         return {f"bleu_{n}": 0.0 for n in (1, 2, 3, 4)} | {"bleu": 0.0}
@@ -120,6 +113,88 @@ def corpus_bleu(
         out[f"bleu_{n}"] = _weighted_score(p_n, w, bp)
     out["bleu"] = _weighted_score(p_n, (0.25, 0.25, 0.25, 0.25), bp)
     return out
+
+
+def corpus_bleu(
+    references: List[Sequence[str]], hypotheses: List[Sequence[str]]
+) -> Dict[str, float]:
+    """nltk-equal corpus BLEU report: per-n scores ``bleu_1..4`` (weight
+    vectors (1,0,0,0)…(0,0,0,1)), cumulative ``bleu`` ((0.25,)*4), all
+    under method4 smoothing — the exact quintuple the reference logs
+    (coherence.py:302-310)."""
+    nums, dens, hyp_len, ref_len = _corpus_counts(references, hypotheses)
+    return _scores_from_counts(nums, dens, hyp_len, ref_len)
+
+
+# ---------------------------------------------------------------------------
+# integer-id fast path (identical scores, ~20× less host time)
+# ---------------------------------------------------------------------------
+
+def _pack_ngrams(a, n: int):
+    """[N, L] int ids → [N, L-n+1] int64 where each value uniquely encodes
+    one n-gram (16 bits per token — ids must be < 2**15, which covers the
+    71-char alphabet and any MIMIC word vocab by orders of magnitude)."""
+    import numpy as np
+
+    w = np.lib.stride_tricks.sliding_window_view(a, n, axis=1).astype(np.int64)
+    packed = w[..., 0]
+    for k in range(1, n):
+        packed = (packed << 16) | w[..., k]
+    return packed
+
+
+def corpus_bleu_ids(references, hypotheses) -> Dict[str, float]:
+    """corpus_bleu computed directly on token-ID arrays ([N, L] ints) —
+    bit-identical scores to decoding through the vocab table first
+    (id → token is a bijection for in-vocab ids, and argmax over
+    vocab-sized logits cannot produce out-of-vocab ids). n-gram counting
+    runs as per-row np.unique / intersect1d over packed int64 n-grams
+    instead of Python tuple Counters — the BLEU corpus scan was a dominant
+    host cost of eval rounds at [2048, 128] scale (VERDICT r2 #3)."""
+    import numpy as np
+
+    refs = np.asarray(references)
+    hyps = np.asarray(hypotheses)
+    assert refs.shape[0] == hyps.shape[0]
+    if refs.size and max(int(refs.max()), int(hyps.max(initial=0))) >= 1 << 15:
+        raise ValueError("ids must be < 2**15 for packed n-gram counting")
+    n_rows, l_ref = refs.shape
+    l_hyp = hyps.shape[1]
+    nums = [0] * 4
+    dens = [0] * 4
+    for n in range(1, 5):
+        if l_hyp < n:
+            dens[n - 1] += n_rows  # nltk: max(1, 0) per hypothesis
+            continue
+        h = _pack_ngrams(hyps, n)
+        r = _pack_ngrams(refs, n) if l_ref >= n else None
+        dens[n - 1] += h.shape[1] * n_rows
+        if r is None:
+            continue
+        for i in range(n_rows):
+            hv, hc = np.unique(h[i], return_counts=True)
+            rv, rc = np.unique(r[i], return_counts=True)
+            _, hi, ri = np.intersect1d(
+                hv, rv, assume_unique=True, return_indices=True
+            )
+            if hi.size:
+                nums[n - 1] += int(np.minimum(hc[hi], rc[ri]).sum())
+    return _scores_from_counts(nums, dens, n_rows * l_hyp, n_rows * l_ref)
+
+
+def nbr_common_words_ids(references, hypotheses) -> float:
+    """Mean per-row count of distinct shared ids — equals the token-set
+    overlap after decoding (bijection)."""
+    import numpy as np
+
+    refs = np.asarray(references)
+    hyps = np.asarray(hypotheses)
+    if not len(refs):
+        return float("nan")
+    total = 0
+    for i in range(len(refs)):
+        total += np.intersect1d(refs[i], hyps[i]).size
+    return float(total / len(refs))
 
 
 def common_word_count(reference: Sequence[str], hypothesis: Sequence[str]) -> int:

@@ -115,4 +115,10 @@ def _make_predict(model, state: ClfState) -> Callable:
             {"params": state.params, "batch_stats": state.batch_stats}, x, train=False
         )
 
-    return lambda x: np.asarray(_p(x))
+    predict = lambda x: np.asarray(_p(x))  # noqa: E731
+    # the device-level fn is exposed so eval loops can INLINE the
+    # classifier into a larger jitted program (generate→classify in one
+    # dispatch — per-call RPC latency dominates eval rounds over thin
+    # links; see coherence.test_generation's fused path)
+    predict.device_fn = _p
+    return predict

@@ -32,10 +32,10 @@ def transform_gen_samples(cfg: MopoeConfig, modality: str, x) -> np.ndarray:
     """Adapt generated samples to the classifier's input contract
     (transform_gen_samples, coherence.py:115-125): word-encoded text is
     generated as per-position vocab probabilities but the word classifier
-    consumes token ids → argmax. Device arrays stay on device (the
-    classifier predict fns are jitted) — only probabilities come home."""
+    consumes token ids → argmax. Device arrays (incl. tracers inside a
+    jit) stay on device — only probabilities come home."""
     if modality == "text" and cfg.text_encoding == "word" and x.ndim == 3:
-        xp = jnp if isinstance(x, jax.Array) else np
+        xp = np if isinstance(x, np.ndarray) else jnp
         return xp.argmax(x, axis=-1).astype(xp.int32)
     return x
 
@@ -67,20 +67,43 @@ class CoherenceEvaluator:
         return {l: rate for l in labels_names}
 
     # -- conditional generation ------------------------------------------
+    def predict_cond_probs(
+        self, cond_samples: Mapping[str, Mapping[str, np.ndarray]],
+    ) -> Dict[str, Dict[str, np.ndarray]]:
+        """Classifier probabilities per (subset, modality) for one batch of
+        conditionally generated samples — the accumulation unit (the
+        reference cats these across batches, coherence.py:280-290)."""
+        return {
+            s_key: {
+                m: np.nan_to_num(self._predict(m, gen[m]))
+                for m in self.cfg.modality_names
+            }
+            for s_key, gen in cond_samples.items()
+        }
+
+    def cond_ap(
+        self, probs: Mapping[str, Mapping[str, np.ndarray]],
+        labels: np.ndarray, labels_names,
+    ) -> Dict[str, Dict[str, Dict[str, float]]]:
+        """{label: {subset: {modality: AP}}} over the FULL accumulated
+        outputs — ONE average-precision per triple, like the reference's
+        eval_classified_gen_samples (coherence.py:204-224), not a
+        per-batch AP average."""
+        out: Dict[str, Dict[str, Dict[str, float]]] = {
+            l: {s: {} for s in probs} for l in labels_names
+        }
+        for s_key, per_mod in probs.items():
+            for m, p in per_mod.items():
+                for li, l_key in enumerate(labels_names):
+                    out[l_key][s_key][m] = eval_label_ap(p, labels, li)
+        return out
+
     def classify_cond_gen(
         self, cond_samples: Mapping[str, Mapping[str, np.ndarray]],
         labels: np.ndarray, labels_names,
     ) -> Dict[str, Dict[str, Dict[str, float]]]:
-        """{label: {subset: {modality: AP}}}."""
-        out: Dict[str, Dict[str, Dict[str, float]]] = {
-            l: {s: {} for s in cond_samples} for l in labels_names
-        }
-        for s_key, gen in cond_samples.items():
-            for m in self.cfg.modality_names:
-                probs = np.nan_to_num(self._predict(m, gen[m]))
-                for li, l_key in enumerate(labels_names):
-                    out[l_key][s_key][m] = eval_label_ap(probs, labels, li)
-        return out
+        """Single-batch convenience: predict + AP in one call."""
+        return self.cond_ap(self.predict_cond_probs(cond_samples), labels, labels_names)
 
 
 def test_generation(exp, state, evaluator: CoherenceEvaluator, max_batches: int = 0) -> Dict[str, Any]:
@@ -110,25 +133,96 @@ def test_generation(exp, state, evaluator: CoherenceEvaluator, max_batches: int 
             train=False, rngs={"reparam": r}, method=go,
         )
 
+    # fused path: generate + classify + argmax in ONE jitted program per
+    # batch — a single dispatch and a single device_get instead of ~30
+    # per-classifier round trips (per-call RPC latency dominates eval
+    # rounds over thin host links; measured 142 s → see RESULTS_r3)
+    dev_preds = {
+        m: getattr(evaluator.clf_predict[m], "device_fn", None)
+        for m in cfg.modality_names
+    }
+    fused = None
+    if all(fn is not None for fn in dev_preds.values()):
+
+        @jax.jit
+        def fused(params, batch_stats, batch, r1, r2):
+            variables = {"params": params, "batch_stats": batch_stats}
+            rand = model.apply(
+                variables, cfg.batch_size, train=False, rngs={"reparam": r1},
+                method=lambda m, n, train: m.generate(n, train=train),
+            )
+            preds = jnp.stack([
+                jnp.argmax(jnp.nan_to_num(
+                    dev_preds[m](transform_gen_samples(cfg, m, rand[m]))
+                ), axis=1)
+                for m in cfg.modality_names
+            ])  # [M, B]
+            rand_rate = jnp.mean(
+                jnp.all(preds == preds[0:1], axis=0).astype(jnp.float32)
+            )
+
+            def go(m, b, train):
+                latents = m.inference(b, train=train)
+                return m.cond_generation(latents["subsets"], train=train)
+
+            cond = model.apply(variables, batch, train=False,
+                               rngs={"reparam": r2}, method=go)
+            cond_p = {
+                s: {
+                    m: jnp.nan_to_num(
+                        dev_preds[m](transform_gen_samples(cfg, m, g[m]))
+                    )
+                    for m in cfg.modality_names
+                }
+                for s, g in cond.items()
+            }
+            text_ids = {
+                s: jnp.argmax(g["text"], axis=-1).astype(jnp.int32)
+                for s, g in cond.items()
+            }
+            ref = batch["text"]
+            if ref.ndim == 3:  # char one-hot → ids
+                ref = jnp.argmax(ref, axis=-1)
+            return rand_rate, cond_p, text_ids, ref.astype(jnp.int32)
+
     rand_coherences = []
-    cond_results = []
+    cond_probs: Dict[str, Dict[str, list]] = {}
+    all_labels = []
     gen_text_ids: Dict[str, list] = {}
     ref_text_ids = []
     for i, (batch, labels) in enumerate(test_loader):
         if max_batches and i >= max_batches:
             break
         rng, r1, r2 = jax.random.split(rng, 3)
-        # generated samples are classified ON DEVICE (the predict fns are
-        # jitted); only the [B, n_labels] probabilities are downloaded —
-        # never the 7×3 generated modality tensors themselves
+        if fused is not None:
+            rand_rate, cond_p, text_ids, ref_ids = jax.device_get(
+                fused(state.params, state.batch_stats, batch, r1, r2)
+            )
+            rand_coherences.append({l: float(rand_rate) for l in exp.labels})
+            for s_key, per_mod in cond_p.items():
+                slot = cond_probs.setdefault(s_key, {})
+                for m, p in per_mod.items():
+                    slot.setdefault(m, []).append(p)
+                gen_text_ids.setdefault(s_key, []).append(
+                    text_ids[s_key].astype(np.int32)
+                )
+            ref_text_ids.append(ref_ids.astype(np.int32))
+            all_labels.append(np.nan_to_num(np.asarray(labels)))
+            continue
+        # unfused fallback (external classifiers without a device fn):
+        # generated samples are still classified ON DEVICE per call
         rand = gen_random(state.params, state.batch_stats, r1)
         rand_coherences.append(
             evaluator.calculate_coherence(rand, exp.labels)
         )
         cond = cond_gen(state.params, state.batch_stats, batch, r2)
-        cond_results.append(
-            evaluator.classify_cond_gen(cond, np.nan_to_num(labels), exp.labels)
-        )
+        # accumulate classifier OUTPUTS; AP is computed once over the full
+        # set (reference cats outputs across batches, coherence.py:280-290)
+        for s_key, per_mod in evaluator.predict_cond_probs(cond).items():
+            slot = cond_probs.setdefault(s_key, {})
+            for m, p in per_mod.items():
+                slot.setdefault(m, []).append(p)
+        all_labels.append(np.nan_to_num(np.asarray(labels)))
         # text quality PER conditioning subset (evaluate_generated_text is
         # per subset, coherence.py:296-311); argmax on device so only the
         # [B, L] int id arrays come home, not [B, L, vocab] probabilities
@@ -141,7 +235,8 @@ def test_generation(exp, state, evaluator: CoherenceEvaluator, max_batches: int 
             ref = jnp.argmax(ref, axis=-1)
         ref_text_ids.append(np.asarray(ref, dtype=np.int32))
 
-    # average over batches
+    # average over batches (random coherence is a per-batch rate, like the
+    # reference's calc_coherence_random_gen accumulation)
     def avg_nested(dicts):
         if not dicts:
             return {}
@@ -156,10 +251,16 @@ def test_generation(exp, state, evaluator: CoherenceEvaluator, max_batches: int 
                 out[k] = float(np.mean(vals)) if vals else float("nan")
         return out
 
-    results = {
-        "random_coherence": avg_nested(rand_coherences),
-        "cond_coherence": avg_nested(cond_results),
-    }
+    results = {"random_coherence": avg_nested(rand_coherences)}
+    if all_labels:
+        labels_cat = np.concatenate(all_labels)
+        probs_cat = {
+            s: {m: np.concatenate(parts) for m, parts in per_mod.items()}
+            for s, per_mod in cond_probs.items()
+        }
+        results["cond_coherence"] = evaluator.cond_ap(
+            probs_cat, labels_cat, exp.labels
+        )
     if ref_text_ids:
         text_eval = _text_bleu_per_subset(
             cfg, exp, gen_text_ids, np.concatenate(ref_text_ids)
@@ -177,14 +278,27 @@ def _text_bleu_per_subset(
     (coherence.py:296-311). Inputs are pre-argmaxed id arrays; the
     reference text is decoded ONCE and shared across subsets."""
     from mopoe_mimic_tpu.data.text_codec import tensor_to_tokens
-    from mopoe_mimic_tpu.evaluation.bleu import nbr_common_words
+    from mopoe_mimic_tpu.evaluation.bleu import (
+        corpus_bleu_ids, nbr_common_words, nbr_common_words_ids,
+    )
 
+    out: Dict[str, Dict[str, float]] = {}
+    if cfg.text_encoding == "word":
+        # ids ARE the tokens (bijection through the vocab) — score the id
+        # arrays directly, no decode at all (corpus_bleu_ids docstring)
+        for s_key, parts in gen_ids.items():
+            hyp_ids = np.concatenate(parts)
+            scores = corpus_bleu_ids(ref_ids, hyp_ids)
+            scores["nbr_common_words"] = nbr_common_words_ids(ref_ids, hyp_ids)
+            out[s_key] = scores
+        return out
+    # char mode: decoded strings re-tokenize into words (PARITY.md
+    # deviations) — no id bijection, keep the decode path
     try:
         refs = tensor_to_tokens(cfg, exp, ref_ids, probs=False)
     except Exception as e:  # vocab may be absent on synthetic data
         log.debug(f"text decode for BLEU skipped: {e}")
         return {}
-    out: Dict[str, Dict[str, float]] = {}
     for s_key, parts in gen_ids.items():
         hyp = tensor_to_tokens(cfg, exp, np.concatenate(parts), probs=False)
         scores = corpus_bleu(refs, hyp)

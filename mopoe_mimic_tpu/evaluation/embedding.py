@@ -72,5 +72,6 @@ def make_default_embedder(exp, quick_epochs: int = 1) -> Callable[[np.ndarray], 
                 out.append(np.asarray(probs(chunk)))
         return np.concatenate(out)
 
+    embed.device_fn = probs  # inlineable into larger jitted programs
     exp._fid_embedder = embed
     return embed

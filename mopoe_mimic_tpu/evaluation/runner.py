@@ -4,6 +4,7 @@ eval_lr, use_clf coherence, calc_nll, calc_prd)."""
 
 from __future__ import annotations
 
+import time
 from typing import Any, Dict, Optional
 
 import numpy as np
@@ -29,6 +30,8 @@ def run_eval_suite(
             f"comparable to full-test-set reference numbers"
         )
     results: Dict[str, Any] = {}
+    timings: Dict[str, float] = {}
+    t_round = time.perf_counter()
 
     if cfg.eval_lr:
         from mopoe_mimic_tpu.evaluation.representation import (
@@ -36,8 +39,10 @@ def run_eval_suite(
         )
 
         log.info("eval: latent-representation classifiers")
+        t0 = time.perf_counter()
         clf_lr = train_clf_lr_all_subsets(exp, state, mesh=mesh)
         lr_eval = test_clf_lr_all_subsets(exp, state, clf_lr, mesh=mesh)
+        timings["lr_eval_s"] = time.perf_counter() - t0
         results["lr_eval"] = lr_eval
         for s_key, metrics in lr_eval.items():
             exp.tb_logger.write_epoch(f"lr_eval/{s_key}", epoch, metrics)
@@ -47,8 +52,12 @@ def run_eval_suite(
         from mopoe_mimic_tpu.evaluation.coherence import test_generation
 
         log.info("eval: generation coherence")
+        t0 = time.perf_counter()
         evaluator = load_or_train_classifiers(exp)
+        timings["clf_load_or_train_s"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
         gen_eval = test_generation(exp, state, evaluator, max_batches=max_batches)
+        timings["coherence_s"] = time.perf_counter() - t0
         results["gen_eval"] = gen_eval
         exp.tb_logger.write_epoch("coherence", epoch, gen_eval)
 
@@ -56,7 +65,9 @@ def run_eval_suite(
         from mopoe_mimic_tpu.evaluation.likelihood import estimate_likelihoods
 
         log.info("eval: importance-weighted likelihoods")
+        t0 = time.perf_counter()
         lhoods = estimate_likelihoods(exp, state, mesh=mesh, max_batches=max_batches)
+        timings["nll_s"] = time.perf_counter() - t0
         results["likelihoods"] = lhoods
         exp.tb_logger.write_epoch("likelihoods", epoch, lhoods)
 
@@ -65,9 +76,13 @@ def run_eval_suite(
         from mopoe_mimic_tpu.evaluation.embedding import make_default_embedder
 
         log.info("eval: PRD/FID sample quality")
+        t0 = time.perf_counter()
         try:
             embed = make_default_embedder(exp)
+            timings["embedder_s"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
             prd = calc_prd_score(exp, state, embed, max_batches=max_batches)
+            timings["prd_s"] = time.perf_counter() - t0
             results["prd"] = prd
             exp.tb_logger.write_epoch("prd", epoch, prd)
         except (ImportError, FileNotFoundError) as e:
@@ -79,10 +94,16 @@ def run_eval_suite(
     try:
         from mopoe_mimic_tpu.utils.plotting import generate_plots
 
+        t0 = time.perf_counter()
         plots = generate_plots(exp, state, epoch)
+        timings["plots_s"] = time.perf_counter() - t0
         for tag, img in plots.items():
             exp.tb_logger.write_image(tag, img, epoch)
     except Exception as e:
         log.warning(f"plot generation FAILED: {e!r}", exc_info=True)
 
+    if timings:
+        total = time.perf_counter() - t_round
+        split = ", ".join(f"{k}={v:.1f}" for k, v in timings.items())
+        log.info(f"eval round: {total:.1f}s total ({split})")
     return flatten_metrics(results, sep="_") if results else {}

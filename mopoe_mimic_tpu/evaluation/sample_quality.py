@@ -227,7 +227,42 @@ def calc_prd_score(
     # come home. Non-finite samples from untrained eval-mode BN
     # (docs/STABILITY.md) surface as non-finite activations; the
     # nan_to_num on activations mirrors the reference's testing-mode
-    # sanitization (coherence.py:49-53).
+    # sanitization (coherence.py:49-53). Generated images themselves are
+    # sanitized BEFORE embedding: a NaN pixel becomes the embedding of a
+    # zeroed image, not an all-zero activation vector.
+    # Fused path: generate + embed everything in ONE jitted program per
+    # batch (single dispatch / device_get — per-call RPC latency dominates
+    # eval rounds over thin links, RESULTS_r3).
+    dev_embed = getattr(embed_fn, "device_fn", None)
+    fused = None
+    if dev_embed is not None:
+
+        @jax.jit
+        def fused(params, batch_stats, batch, r1, r2):
+            variables = {"params": params, "batch_stats": batch_stats}
+
+            def go(m, b, train):
+                latents = m.inference(b, train=train)
+                return m.cond_generation(latents["subsets"], train=train)
+
+            cond = dict(model.apply(variables, batch, train=False,
+                                    rngs={"reparam": r1}, method=go))
+            cond["random"] = model.apply(
+                variables, cfg.batch_size, train=False, rngs={"reparam": r2},
+                method=lambda m, n, train: m.generate(n, train=train),
+            )
+            real = {
+                m: jnp.nan_to_num(dev_embed(batch[m])) for m in img_mods
+            }
+            gen = {
+                s: {
+                    m: jnp.nan_to_num(dev_embed(jnp.nan_to_num(g[m])))
+                    for m in img_mods
+                }
+                for s, g in cond.items()
+            }
+            return real, gen
+
     real_acts_parts = {m: [] for m in img_mods}
     gen_acts_parts: Dict[str, Dict[str, list]] = {}
     # cfg.num_samples_fid caps the FID/PRD sample count per set — the
@@ -240,6 +275,17 @@ def calc_prd_score(
             break
         n_seen += int(batch[img_mods[0]].shape[0])
         rng, r1, r2 = jax.random.split(rng, 3)
+        if fused is not None:
+            real, gen_all = jax.device_get(
+                fused(state.params, state.batch_stats, batch, r1, r2)
+            )
+            for m in img_mods:
+                real_acts_parts[m].append(real[m])
+            for s_key, per_mod in gen_all.items():
+                slot = gen_acts_parts.setdefault(s_key, {m: [] for m in img_mods})
+                for m in img_mods:
+                    slot[m].append(per_mod[m])
+            continue
         cond = cond_gen(state.params, state.batch_stats, batch, r1)
         cond = dict(cond)
         cond["random"] = rand_gen(state.params, state.batch_stats, r2)
@@ -248,11 +294,6 @@ def calc_prd_score(
         for s_key, gen in cond.items():
             slot = gen_acts_parts.setdefault(s_key, {m: [] for m in img_mods})
             for m in img_mods:
-                # sanitize the generated image itself BEFORE embedding
-                # (reference semantics, coherence.py:49-53): a NaN pixel
-                # becomes the embedding of a zeroed image, not an all-zero
-                # activation vector; the outer nan_to_num keeps covering
-                # non-finite activations from untrained eval-mode BN.
                 slot[m].append(np.nan_to_num(embed_fn(jnp.nan_to_num(gen[m]))))
 
     results = {}

@@ -40,9 +40,19 @@ class Experiment:
         self.labels = BINARY_LABELS if cfg.binary_labels else LABELS
         self.modalities = list(cfg.modality_names)
         self.subsets = subset_powerset(cfg.modality_names)
+        # datasets BEFORE the model: a word-encoded real run learns its
+        # vocab size from the built vocabulary (the reference mutates
+        # flags.vocab_size inside the dataset, MimicDataset.py:54)
+        self.set_datasets()
+        vocab = getattr(self.dataset_train, "vocab", None)
+        if vocab is not None and vocab.vocab_size != cfg.vocab_size:
+            log.info(
+                f"vocab_size {cfg.vocab_size} → {vocab.vocab_size} "
+                "(from the built word vocabulary)"
+            )
+            self.cfg = cfg = cfg.replace(vocab_size=vocab.vocab_size)
         self.model = MMVae(cfg)
         self.tx = make_optimizer(cfg)
-        self.set_datasets()
         self.tb_logger = TBLogger(self.name, self.paths["logs"]) if make_dirs else TBLogger(self.name, None)
         self.experiments_df: Optional[ExperimentDataframe] = None
         if make_dirs:

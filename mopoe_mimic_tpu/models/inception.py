@@ -278,4 +278,5 @@ def load_inception_embedder(path: str, batch_size: int = 64):
                 out.append(np.asarray(features(chunk)))
         return np.concatenate(out)
 
+    embed.device_fn = features  # inlineable into larger jitted programs
     return embed

@@ -71,3 +71,12 @@ def test_no_dead_config_knobs():
         if not (in_pkg or via_property):
             dead.append(f.name)
     assert not dead, f"config fields with zero reads in the package: {dead}"
+
+
+def test_cli_optional_int_fields_parse_as_int():
+    """--seed (Optional[int]) must parse to int, not str (a string seed
+    crashed make_loaders' seed arithmetic; found by the 65k rehearsal)."""
+    from mopoe_mimic_tpu.config import MopoeConfig
+
+    cfg = MopoeConfig.from_cli(["--seed", "4", "--batch_size", "8"])
+    assert cfg.seed == 4 and isinstance(cfg.seed, int)

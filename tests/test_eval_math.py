@@ -147,3 +147,35 @@ def test_prd_histogram_math():
     ev = np.array([0.5, 0.5])
     p, r = compute_prd(ref, ev)
     assert p.max() > 0.99 and r.max() > 0.99
+
+
+def test_corpus_bleu_ids_matches_token_path_and_nltk():
+    """The integer-id fast path scores bit-identically to decoding ids to
+    tokens and running the token-based corpus scan (and hence to nltk)."""
+    from mopoe_mimic_tpu.evaluation.bleu import (
+        corpus_bleu_ids, nbr_common_words, nbr_common_words_ids,
+    )
+
+    rng = np.random.default_rng(3)
+    for vocab, L in ((40, 32), (3517, 128)):
+        refs = rng.integers(0, vocab, size=(16, L))
+        # half-noisy copies → realistic partial n-gram overlap
+        hyps = refs.copy()
+        mask = rng.random(refs.shape) < 0.4
+        hyps[mask] = rng.integers(0, vocab, size=int(mask.sum()))
+        table = [f"tok{i}" for i in range(vocab)]
+        refs_tok = [[table[i] for i in row] for row in refs]
+        hyps_tok = [[table[i] for i in row] for row in hyps]
+        ours = corpus_bleu_ids(refs, hyps)
+        via_tokens = corpus_bleu(refs_tok, hyps_tok)
+        for k, v in via_tokens.items():
+            assert abs(ours[k] - v) < 1e-12, (k, ours[k], v)
+        assert nbr_common_words_ids(refs, hyps) == nbr_common_words(
+            refs_tok, hyps_tok
+        )
+    # golden vs nltk on one of the id sets
+    pytest = __import__("pytest")
+    pytest.importorskip("nltk")
+    golden = _nltk_quintuple(refs_tok, hyps_tok)
+    for k, v in golden.items():
+        assert abs(ours[k] - v) < 1e-12
