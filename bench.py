@@ -49,6 +49,11 @@ def main():
                     help="park the dataset in HBM and gather batches on "
                     "device (fresh batch every step; only the [B] index "
                     "vector crosses the link)")
+    ap.add_argument("--per-step", action="store_true",
+                    help="dispatch one XLA program per step on a resident "
+                    "batch (the pre-round-3 pinned protocol; the default "
+                    "is now the production path: one lax.scan dispatch "
+                    "per window with on-device batch gather)")
     args = ap.parse_args()
 
     import jax
@@ -87,8 +92,9 @@ def main():
     if args.uint8:
         cfg = cfg.replace(transfer_uint8=True)
     mesh = make_mesh(cfg)
-    # --stream/--device-store: enough distinct batches that every step is fresh
-    ds_len = cfg.batch_size * (8 if (args.stream or args.device_store) else 1)
+    # default/--stream/--device-store: enough distinct samples that every
+    # step's batch is fresh (--per-step reuses one resident batch)
+    ds_len = cfg.batch_size * (1 if args.per_step else 8)
     ds = SyntheticMimic(cfg, seed=0, length=ds_len)
     loader = BatchLoader(ds, cfg.batch_size, shuffle=False)
     host_batch, _ = next(iter(loader))
@@ -104,18 +110,42 @@ def main():
     state = replicate_state(mesh, state)
     step = make_train_step(cfg)
 
+    # default mode: the production path — dataset resident in HBM, one
+    # lax.scan dispatch per timing window with the batch gathered on
+    # device each step (train/scan.py). A fresh random batch every step;
+    # the only host→device traffic is the [steps, B] index matrix.
+    scan_mode = not (args.stream or args.device_store or args.per_step)
+    if scan_mode:
+        from mopoe_mimic_tpu.data.device_store import DeviceStore
+        from mopoe_mimic_tpu.train.scan import make_train_epoch
+
+        scan_store = DeviceStore(ds, cfg, mesh=mesh)
+        train_window = make_train_epoch(cfg, scan_store)
+        idx_rng = np.random.default_rng(0)
+
+        def window_indices():
+            return idx_rng.integers(
+                0, len(ds), (args.steps, cfg.batch_size)
+            ).astype(np.int32)
+
     # warmup (compile + first-execution jitter)
     from mopoe_mimic_tpu.parallel.prefetch import prefetch_to_device, quantize_batch_uint8
 
     warm = shard_batch(mesh, quantize_batch_uint8(host_batch)) if args.uint8 else batch
-    for _ in range(args.warmup):
-        state, metrics = step(state, warm)
+    if scan_mode:
+        # one full-length window: the scan compiles per window length
+        state, metrics = train_window(state, scan_store.cols, window_indices())
+    else:
+        for _ in range(args.warmup):
+            state, metrics = step(state, warm)
     jax.block_until_ready(metrics["total_loss"])
 
     def run_window(n_steps: int) -> float:
         nonlocal state
         t0 = time.perf_counter()
-        if store is not None:
+        if scan_mode:
+            state, m = train_window(state, scan_store.cols, window_indices())
+        elif store is not None:
             done = 0
             epoch = 0
             while done < n_steps:
@@ -165,6 +195,9 @@ def main():
     suffix = "_stream" if args.stream else ""
     suffix += "_uint8" if args.uint8 else ""
     suffix += "_devstore" if args.device_store else ""
+    suffix += "_perstep" if args.per_step else ""
+    mode = ("scanned epoch (1 dispatch/window, on-device gather)"
+            if scan_mode else "per-step dispatch")
     print(json.dumps({
         "metric": f"train_samples_per_sec_per_chip_mopoe128{suffix}",
         "value": round(per_chip, 2),
@@ -172,7 +205,7 @@ def main():
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
         "spread_pct": round(spread_pct, 1),
         "protocol": f"median of {repeats}x{args.steps}-step windows, "
-                    f"{args.warmup} warmup",
+                    f"{mode}",
     }))
 
 

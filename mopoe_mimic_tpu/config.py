@@ -219,6 +219,11 @@ class MopoeConfig:
     # MIMIC at 128px uint8 is ~2.1 GB (DeviceStore.fits() pre-checks the
     # budget). Off by default: streaming is the general path.
     device_resident_data: bool = False
+    # with device_resident_data: run each train/test pass as ONE jitted
+    # lax.scan over the epoch's steps (train/scan.py) — one dispatch and
+    # one host read per epoch instead of one per step. Same numerics as
+    # the per-step path; turn off to debug individual steps.
+    scan_epochs: bool = True
     # fuse the all-subsets PoE into one Pallas VMEM kernel (TPU only —
     # trace-time platform check falls back to the XLA masked-sum path
     # elsewhere). Bit-identical outputs, ~20% faster flagship train step.

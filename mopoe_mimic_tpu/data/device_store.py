@@ -219,6 +219,10 @@ class DeviceStore:
                 batch[k] = rows
             return batch
 
+        # the PURE fn is kept for inlining into larger jitted programs
+        # (the lax.scan epoch runner, train/scan.py) — there the store
+        # columns must travel as jit ARGUMENTS, not closure constants
+        self.gather_fn = gather
         if self.mesh is not None:
             from mopoe_mimic_tpu.parallel.mesh import batch_sharding
 
@@ -233,9 +237,28 @@ class DeviceStore:
     def __len__(self) -> int:
         return len(self.labels)
 
+    @property
+    def cols(self) -> Dict[str, jax.Array]:
+        """The device-resident column arrays (for passing as jit args)."""
+        return self._cols
+
     def gather(self, idx: np.ndarray):
         """Index vector → model-ready device batch (floats/int ids)."""
         return self._gather(self._cols, jnp.asarray(idx, jnp.int32))
+
+    def epoch_order(
+        self, epoch: int, shuffle: bool = True, seed: int = 0,
+        weighted: bool = False,
+    ) -> np.ndarray:
+        """The epoch's global sample order — the SAME draw iter_epoch
+        makes, so scanned and per-step training see identical batches."""
+        n = len(self)
+        rng = np.random.default_rng((seed, epoch))
+        if weighted:
+            return rng.choice(n, size=n, replace=True, p=self._label_weights())
+        if shuffle:
+            return rng.permutation(n)
+        return np.arange(n)
 
     def iter_epoch(
         self,
@@ -252,13 +275,8 @@ class DeviceStore:
         frequency — the WeightedRandomSampler analog (labels are host
         arrays, so the weighted draw composes with the on-device gather)."""
         n = len(self)
-        rng = np.random.default_rng((seed, epoch))
-        if weighted:
-            order = rng.choice(n, size=n, replace=True, p=self._label_weights())
-        elif shuffle:
-            order = rng.permutation(n)
-        else:
-            order = np.arange(n)
+        order = self.epoch_order(epoch, shuffle=shuffle, seed=seed,
+                                 weighted=weighted)
         nb = n // batch_size if drop_last else -(-n // batch_size)
         for b in range(nb):
             idx = order[b * batch_size : (b + 1) * batch_size]

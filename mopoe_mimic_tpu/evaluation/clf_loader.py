@@ -55,6 +55,9 @@ def load_or_train_classifiers(
     cfg.clf_quick_epochs; 0 (the default) trains to mean-AP/dice early-stop
     convergence like the reference (classifiers/utils.py:130-203), so
     coherence-AP rests on converged classifiers, not 2-epoch noise."""
+    cached = getattr(exp, "_coherence_evaluator", None)
+    if cached is not None:
+        return cached
     cfg = exp.cfg
     if quick_epochs is None:
         quick_epochs = cfg.clf_quick_epochs
@@ -105,20 +108,30 @@ def load_or_train_classifiers(
                 log.warning(f"could not save classifier for {m}: {e}")
 
         predict_fns[m] = _make_predict(model, state)
-    return CoherenceEvaluator(cfg, predict_fns)
+    evaluator = CoherenceEvaluator(cfg, predict_fns)
+    # cached per experiment: the classifiers are fixed for the life of a
+    # run, and a stable evaluator keeps the fused coherence program's jit
+    # cache warm across eval rounds (experiment.cached_jit)
+    exp._coherence_evaluator = evaluator
+    return evaluator
 
 
 def _make_predict(model, state: ClfState) -> Callable:
-    @jax.jit
-    def _p(x):
-        return model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats}, x, train=False
-        )
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
 
+    def _apply(v, x):
+        return model.apply(v, x, train=False)
+
+    _p = jax.jit(lambda x: _apply(variables, x))
     predict = lambda x: np.asarray(_p(x))  # noqa: E731
-    # the device-level fn is exposed so eval loops can INLINE the
-    # classifier into a larger jitted program (generate→classify in one
-    # dispatch — per-call RPC latency dominates eval rounds over thin
-    # links; see coherence.test_generation's fused path)
-    predict.device_fn = _p
+    # the PURE apply fn + its variables are exposed so eval loops can
+    # INLINE the classifier into a larger jitted program (generate→
+    # classify in one dispatch — per-call RPC latency dominates eval
+    # rounds over thin host links; see coherence.test_generation's fused
+    # path). The variables MUST travel as jit ARGUMENTS there: closing
+    # over them bakes the classifier weights into the HLO as constants,
+    # which blew the axon remote-compile body limit (HTTP 413) at real
+    # classifier sizes.
+    predict.device_apply = _apply
+    predict.device_variables = variables
     return predict

@@ -114,76 +114,94 @@ def test_generation(exp, state, evaluator: CoherenceEvaluator, max_batches: int 
     test_loader = exp.eval_batches("test")  # device-resident when enabled
     rng = jax.random.PRNGKey((cfg.seed or 0) + 47)
 
-    @jax.jit
-    def gen_random(params, batch_stats, r):
-        return model.apply(
-            {"params": params, "batch_stats": batch_stats}, cfg.batch_size,
-            train=False, rngs={"reparam": r},
-            method=lambda m, n, train: m.generate(n, train=train),
-        )
-
-    @jax.jit
-    def cond_gen(params, batch_stats, batch, r):
-        def go(m, b, train):
-            latents = m.inference(b, train=train)
-            return m.cond_generation(latents["subsets"], train=train)
-
-        return model.apply(
-            {"params": params, "batch_stats": batch_stats}, batch,
-            train=False, rngs={"reparam": r}, method=go,
-        )
-
-    # fused path: generate + classify + argmax in ONE jitted program per
-    # batch — a single dispatch and a single device_get instead of ~30
-    # per-classifier round trips (per-call RPC latency dominates eval
-    # rounds over thin host links; measured 142 s → see RESULTS_r3)
-    dev_preds = {
-        m: getattr(evaluator.clf_predict[m], "device_fn", None)
-        for m in cfg.modality_names
-    }
-    fused = None
-    if all(fn is not None for fn in dev_preds.values()):
-
+    def build_programs():
         @jax.jit
-        def fused(params, batch_stats, batch, r1, r2):
-            variables = {"params": params, "batch_stats": batch_stats}
-            rand = model.apply(
-                variables, cfg.batch_size, train=False, rngs={"reparam": r1},
+        def gen_random(params, batch_stats, r):
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats}, cfg.batch_size,
+                train=False, rngs={"reparam": r},
                 method=lambda m, n, train: m.generate(n, train=train),
             )
-            preds = jnp.stack([
-                jnp.argmax(jnp.nan_to_num(
-                    dev_preds[m](transform_gen_samples(cfg, m, rand[m]))
-                ), axis=1)
-                for m in cfg.modality_names
-            ])  # [M, B]
-            rand_rate = jnp.mean(
-                jnp.all(preds == preds[0:1], axis=0).astype(jnp.float32)
-            )
 
+        @jax.jit
+        def cond_gen(params, batch_stats, batch, r):
             def go(m, b, train):
                 latents = m.inference(b, train=train)
                 return m.cond_generation(latents["subsets"], train=train)
 
-            cond = model.apply(variables, batch, train=False,
-                               rngs={"reparam": r2}, method=go)
-            cond_p = {
-                s: {
-                    m: jnp.nan_to_num(
-                        dev_preds[m](transform_gen_samples(cfg, m, g[m]))
-                    )
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats}, batch,
+                train=False, rngs={"reparam": r}, method=go,
+            )
+
+        # fused path: generate + classify + argmax in ONE jitted program
+        # per batch — a single dispatch and a single device_get instead of
+        # ~30 per-classifier round trips (per-call RPC latency dominates
+        # eval rounds over thin host links; measured 142 s → RESULTS_r3)
+        dev_preds = {
+            m: getattr(evaluator.clf_predict[m], "device_apply", None)
+            for m in cfg.modality_names
+        }
+        fused = None
+        if all(fn is not None for fn in dev_preds.values()):
+            # classifier weights travel as ARGUMENTS, not closure
+            # constants — constants are serialized into the HLO and blew
+            # the axon remote-compile body limit (HTTP 413) at real
+            # classifier sizes
+
+            @jax.jit
+            def fused(params, batch_stats, clf_vars, batch, r1, r2):
+                variables = {"params": params, "batch_stats": batch_stats}
+                rand = model.apply(
+                    variables, cfg.batch_size, train=False, rngs={"reparam": r1},
+                    method=lambda m, n, train: m.generate(n, train=train),
+                )
+                preds = jnp.stack([
+                    jnp.argmax(jnp.nan_to_num(
+                        dev_preds[m](clf_vars[m], transform_gen_samples(cfg, m, rand[m]))
+                    ), axis=1)
                     for m in cfg.modality_names
+                ])  # [M, B]
+                rand_rate = jnp.mean(
+                    jnp.all(preds == preds[0:1], axis=0).astype(jnp.float32)
+                )
+
+                def go(m, b, train):
+                    latents = m.inference(b, train=train)
+                    return m.cond_generation(latents["subsets"], train=train)
+
+                cond = model.apply(variables, batch, train=False,
+                                   rngs={"reparam": r2}, method=go)
+                cond_p = {
+                    s: {
+                        m: jnp.nan_to_num(
+                            dev_preds[m](clf_vars[m], transform_gen_samples(cfg, m, g[m]))
+                        )
+                        for m in cfg.modality_names
+                    }
+                    for s, g in cond.items()
                 }
-                for s, g in cond.items()
-            }
-            text_ids = {
-                s: jnp.argmax(g["text"], axis=-1).astype(jnp.int32)
-                for s, g in cond.items()
-            }
-            ref = batch["text"]
-            if ref.ndim == 3:  # char one-hot → ids
-                ref = jnp.argmax(ref, axis=-1)
-            return rand_rate, cond_p, text_ids, ref.astype(jnp.int32)
+                text_ids = {
+                    s: jnp.argmax(g["text"], axis=-1).astype(jnp.int32)
+                    for s, g in cond.items()
+                }
+                ref = batch["text"]
+                if ref.ndim == 3:  # char one-hot → ids
+                    ref = jnp.argmax(ref, axis=-1)
+                return rand_rate, cond_p, text_ids, ref.astype(jnp.int32)
+
+        return gen_random, cond_gen, fused
+
+    # built ONCE per experiment — rebuilding per eval round would lose the
+    # jit cache and recompile everything each round (experiment.cached_jit)
+    gen_random, cond_gen, fused = exp.cached_jit(
+        "coherence_programs", build_programs
+    )
+    clf_vars = (
+        {m: evaluator.clf_predict[m].device_variables
+         for m in cfg.modality_names}
+        if fused is not None else None
+    )
 
     rand_coherences = []
     cond_probs: Dict[str, Dict[str, list]] = {}
@@ -196,7 +214,7 @@ def test_generation(exp, state, evaluator: CoherenceEvaluator, max_batches: int 
         rng, r1, r2 = jax.random.split(rng, 3)
         if fused is not None:
             rand_rate, cond_p, text_ids, ref_ids = jax.device_get(
-                fused(state.params, state.batch_stats, batch, r1, r2)
+                fused(state.params, state.batch_stats, clf_vars, batch, r1, r2)
             )
             rand_coherences.append({l: float(rand_rate) for l in exp.labels})
             for s_key, per_mod in cond_p.items():

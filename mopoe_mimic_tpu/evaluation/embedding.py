@@ -51,13 +51,14 @@ def make_default_embedder(exp, quick_epochs: int = 1) -> Callable[[np.ndarray], 
         max_epochs=quick_epochs,
     )
 
-    @jax.jit
-    def probs(x):
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    def _apply(v, x):
         # multi-label probabilities as a low-dim embedding proxy; richer
         # penultimate features can be exposed via a trunk-only apply
-        return model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats}, x, train=False
-        )
+        return model.apply(v, x, train=False)
+
+    probs = jax.jit(lambda x: _apply(variables, x))
 
     def embed(images: np.ndarray) -> np.ndarray:
         out = []
@@ -72,6 +73,10 @@ def make_default_embedder(exp, quick_epochs: int = 1) -> Callable[[np.ndarray], 
                 out.append(np.asarray(probs(chunk)))
         return np.concatenate(out)
 
-    embed.device_fn = probs  # inlineable into larger jitted programs
+    # pure apply + variables: inlineable into larger jitted programs with
+    # the weights passed as arguments (NOT closure constants — those blow
+    # the axon remote-compile body limit at real sizes; clf_loader.py)
+    embed.device_apply = _apply
+    embed.device_variables = variables
     exp._fid_embedder = embed
     return embed

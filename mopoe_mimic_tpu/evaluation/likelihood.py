@@ -194,7 +194,12 @@ def estimate_likelihoods(exp, state, mesh=None, max_batches: int = 0) -> Dict[st
     test_loader = exp.eval_batches("test")  # device-resident when enabled
     rng = jax.random.PRNGKey((cfg.seed or 0) + 31)
     subset_keys = list(exp.subsets)
-    fn = make_likelihood_fn(cfg, exp.model, subset_keys)
+    # built ONCE per experiment — a per-round rebuild would recompile the
+    # all-subsets IWAE program every eval round (experiment.cached_jit)
+    fn = exp.cached_jit(
+        ("likelihood", tuple(subset_keys)),
+        lambda: make_likelihood_fn(cfg, exp.model, subset_keys),
+    )
     sums: Dict[str, Dict[str, float]] = {
         s: {m: 0.0 for m in list(cfg.modality_names) + ["joint"]}
         for s in subset_keys

@@ -39,15 +39,22 @@ def collect_subset_means(exp, state, loader, max_samples: int, mesh=None):
     ({subset_key: [N, D] means}, labels [N, L])."""
     model = exp.model
 
-    @jax.jit
-    def infer(params, batch_stats, batch):
-        out = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            batch,
-            train=False,
-            method=lambda m, b, train: m.inference(b, train=train),
-        )
-        return {k: mu for k, (mu, lv) in out["subsets"].items()}
+    def build_infer():
+        @jax.jit
+        def infer(params, batch_stats, batch):
+            out = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch,
+                train=False,
+                method=lambda m, b, train: m.inference(b, train=train),
+            )
+            return {k: mu for k, (mu, lv) in out["subsets"].items()}
+
+        return infer
+
+    # one build per experiment: a per-call jit would recompile every eval
+    # round (experiment.cached_jit)
+    infer = exp.cached_jit("repr_infer", build_infer)
 
     collected: Dict[str, list] = {}
     labels_all = []

@@ -206,21 +206,6 @@ def calc_prd_score(
     test_loader = exp.eval_batches("test")  # device-resident when enabled
     rng = jax.random.PRNGKey((cfg.seed or 0) + 61)
 
-    @jax.jit
-    def cond_gen(params, batch_stats, batch, r):
-        def go(m, b, train):
-            latents = m.inference(b, train=train)
-            return m.cond_generation(latents["subsets"], train=train)
-
-        return model.apply({"params": params, "batch_stats": batch_stats},
-                           batch, train=False, rngs={"reparam": r}, method=go)
-
-    @jax.jit
-    def rand_gen(params, batch_stats, r):
-        return model.apply({"params": params, "batch_stats": batch_stats},
-                           cfg.batch_size, train=False, rngs={"reparam": r},
-                           method=lambda m, n, train: m.generate(n, train=train))
-
     img_mods = [m for m in cfg.modality_names if m != "text"]
     # embed per batch as samples are generated — device arrays flow
     # straight into the (jitted) embedder, only the [B, D] activations
@@ -233,12 +218,35 @@ def calc_prd_score(
     # Fused path: generate + embed everything in ONE jitted program per
     # batch (single dispatch / device_get — per-call RPC latency dominates
     # eval rounds over thin links, RESULTS_r3).
-    dev_embed = getattr(embed_fn, "device_fn", None)
-    fused = None
-    if dev_embed is not None:
+    # Embedder weights travel as jit ARGUMENTS (not closure constants —
+    # those are serialized into the HLO and blew the axon remote-compile
+    # body limit at real sizes; see clf_loader.py).
+    dev_embed = getattr(embed_fn, "device_apply", None)
+    embed_vars = getattr(embed_fn, "device_variables", None)
+
+    def build_programs():
+        @jax.jit
+        def cond_gen(params, batch_stats, batch, r):
+            def go(m, b, train):
+                latents = m.inference(b, train=train)
+                return m.cond_generation(latents["subsets"], train=train)
+
+            return model.apply({"params": params, "batch_stats": batch_stats},
+                               batch, train=False, rngs={"reparam": r},
+                               method=go)
 
         @jax.jit
-        def fused(params, batch_stats, batch, r1, r2):
+        def rand_gen(params, batch_stats, r):
+            return model.apply({"params": params, "batch_stats": batch_stats},
+                               cfg.batch_size, train=False,
+                               rngs={"reparam": r},
+                               method=lambda m, n, train: m.generate(n, train=train))
+
+        if dev_embed is None:
+            return cond_gen, rand_gen, None
+
+        @jax.jit
+        def fused(params, batch_stats, embed_vars, batch, r1, r2):
             variables = {"params": params, "batch_stats": batch_stats}
 
             def go(m, b, train):
@@ -252,16 +260,25 @@ def calc_prd_score(
                 method=lambda m, n, train: m.generate(n, train=train),
             )
             real = {
-                m: jnp.nan_to_num(dev_embed(batch[m])) for m in img_mods
+                m: jnp.nan_to_num(dev_embed(embed_vars, batch[m]))
+                for m in img_mods
             }
             gen = {
                 s: {
-                    m: jnp.nan_to_num(dev_embed(jnp.nan_to_num(g[m])))
+                    m: jnp.nan_to_num(dev_embed(embed_vars, jnp.nan_to_num(g[m])))
                     for m in img_mods
                 }
                 for s, g in cond.items()
             }
             return real, gen
+
+        return cond_gen, rand_gen, fused
+
+    # built ONCE per experiment — a per-round rebuild loses the jit cache
+    # and recompiles the fused program every round (experiment.cached_jit)
+    cond_gen, rand_gen, fused = exp.cached_jit(
+        ("prd_programs", id(dev_embed)), build_programs
+    )
 
     real_acts_parts = {m: [] for m in img_mods}
     gen_acts_parts: Dict[str, Dict[str, list]] = {}
@@ -277,7 +294,7 @@ def calc_prd_score(
         rng, r1, r2 = jax.random.split(rng, 3)
         if fused is not None:
             real, gen_all = jax.device_get(
-                fused(state.params, state.batch_stats, batch, r1, r2)
+                fused(state.params, state.batch_stats, embed_vars, batch, r1, r2)
             )
             for m in img_mods:
                 real_acts_parts[m].append(real[m])

@@ -136,6 +136,19 @@ class Experiment:
         self._stores_mesh = mesh
         return self._stores
 
+    def cached_jit(self, key, builder):
+        """Process-lifetime cache for jitted eval programs. jax's jit
+        cache is keyed on the function OBJECT — an eval module that
+        builds its jitted closure per call recompiles every eval round
+        (measured ~100 s/round of pure remote_compile on the big fused
+        coherence program). Builders close over stable per-run objects
+        (self.model, cfg, cached classifiers), so one build per key is
+        sound for the life of the experiment."""
+        cache = self.__dict__.setdefault("_jit_cache", {})
+        if key not in cache:
+            cache[key] = builder()
+        return cache[key]
+
     def eval_batches(self, split: str = "test", epoch: int = 0):
         """(batch, labels) iterator for the eval suite — device-resident
         when enabled, else a fresh seeded loader with the same order

@@ -263,9 +263,12 @@ def load_inception_embedder(path: str, batch_size: int = 64):
     params, stats = convert_inception_state_dict(sd)
     model = InceptionV3FID()
 
-    @jax.jit
-    def features(x):
-        return model.apply({"params": params, "batch_stats": stats}, x, train=False)
+    variables = {"params": params, "batch_stats": stats}
+
+    def _apply(v, x):
+        return model.apply(v, x, train=False)
+
+    features = jax.jit(lambda x: _apply(variables, x))
 
     def embed(images: np.ndarray) -> np.ndarray:
         out = []
@@ -278,5 +281,8 @@ def load_inception_embedder(path: str, batch_size: int = 64):
                 out.append(np.asarray(features(chunk)))
         return np.concatenate(out)
 
-    embed.device_fn = features  # inlineable into larger jitted programs
+    # pure apply + variables: inlineable into larger jitted programs with
+    # the weights passed as arguments (see evaluation/clf_loader.py)
+    embed.device_apply = _apply
+    embed.device_variables = variables
     return embed

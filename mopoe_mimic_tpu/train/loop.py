@@ -68,6 +68,23 @@ def run_epochs(
         log.info(f"resumed from checkpoint at epoch {start_epoch}")
     state = replicate_state(mesh, state)
 
+    # scanned epochs: with the store resident in HBM the whole train/test
+    # pass compiles to ONE lax.scan program — one dispatch per epoch
+    # instead of one per step (train/scan.py; dispatch latency through a
+    # thin link is ~2.5× the step compute)
+    scan = cfg.scan_epochs and store_train is not None
+    if scan:
+        from mopoe_mimic_tpu.train.scan import (
+            epoch_index_matrix, make_eval_epoch, make_train_epoch,
+        )
+
+        train_epoch_fn = make_train_epoch(cfg, store_train, exp.model, exp.tx)
+        eval_epoch_fn = (
+            make_eval_epoch(cfg, store_test, exp.model)
+            if store_test is not None else None
+        )
+    # the per-step fns stay available (jit wrappers compile lazily):
+    # fallback paths and the non-resident test pass still use them
     train_step = make_train_step(cfg, exp.model, exp.tx)
     eval_step = make_eval_step(cfg, exp.model)
     callbacks = Callbacks(
@@ -103,46 +120,71 @@ def run_epochs(
         t0 = time.time()
         # ---- train pass ------------------------------------------------
         train_loader.set_epoch(epoch)
-        acc = MetricAccumulator()
-        if store_train is not None:
-            train_iter = _at_most(
-                store_train.iter_epoch(epoch, cfg.batch_size,
-                                       seed=cfg.seed or 0,
-                                       weighted=cfg.weighted_sampler),
-                steps_cap,
-            )
+        idx_mat = (
+            epoch_index_matrix(store_train, epoch, cfg.batch_size,
+                               seed=cfg.seed or 0,
+                               weighted=cfg.weighted_sampler,
+                               steps_cap=steps_cap)
+            if scan else None
+        )
+        if idx_mat is not None and len(idx_mat):
+            # whole epoch in one dispatch; one host read for the metrics
+            state, avg_dev = train_epoch_fn(state, store_train.cols, idx_mat)
+            train_avg = jax.device_get(avg_dev)
         else:
-            train_iter = prefetch_to_device(
-                _at_most(iter(train_loader), steps_cap), mesh,
-                size=max(1, cfg.dataloader_workers),
-                quantize=cfg.transfer_uint8,
-            )
-        for batch, _labels in train_iter:
-            state, metrics = train_step(state, batch)
-            acc.update(metrics)
-        train_avg = acc.averages()
+            acc = MetricAccumulator()
+            if store_train is not None:
+                train_iter = _at_most(
+                    store_train.iter_epoch(epoch, cfg.batch_size,
+                                           seed=cfg.seed or 0,
+                                           weighted=cfg.weighted_sampler),
+                    steps_cap,
+                )
+            else:
+                train_iter = prefetch_to_device(
+                    _at_most(iter(train_loader), steps_cap), mesh,
+                    size=max(1, cfg.dataloader_workers),
+                    quantize=cfg.transfer_uint8,
+                )
+            for batch, _labels in train_iter:
+                state, metrics = train_step(state, batch)
+                acc.update(metrics)
+            train_avg = acc.averages()
         _check_nans(cfg, train_avg)
         exp.tb_logger.write_epoch("train", epoch, _loggable(train_avg))
 
         # ---- test pass ---------------------------------------------------
         test_loader.set_epoch(epoch)
-        acc = MetricAccumulator()
-        if store_test is not None:
-            test_iter = _at_most(
-                store_test.iter_epoch(epoch, cfg.batch_size,
-                                      seed=(cfg.seed or 0) + 1),
-                steps_cap,
+        test_idx = (
+            epoch_index_matrix(store_test, epoch, cfg.batch_size,
+                               seed=(cfg.seed or 0) + 1,
+                               steps_cap=steps_cap)
+            if scan and store_test is not None and eval_epoch_fn is not None
+            else None
+        )
+        if test_idx is not None and len(test_idx):
+            eval_rng, avg_dev = eval_epoch_fn(
+                state, eval_rng, store_test.cols, test_idx
             )
+            test_avg = jax.device_get(avg_dev)
         else:
-            test_iter = prefetch_to_device(
-                _at_most(iter(test_loader), steps_cap), mesh,
-                size=max(1, cfg.dataloader_workers),
-                quantize=cfg.transfer_uint8,
-            )
-        for batch, _labels in test_iter:
-            eval_rng, r = jax.random.split(eval_rng)
-            acc.update(eval_step(state, batch, r))
-        test_avg = acc.averages()
+            acc = MetricAccumulator()
+            if store_test is not None:
+                test_iter = _at_most(
+                    store_test.iter_epoch(epoch, cfg.batch_size,
+                                          seed=(cfg.seed or 0) + 1),
+                    steps_cap,
+                )
+            else:
+                test_iter = prefetch_to_device(
+                    _at_most(iter(test_loader), steps_cap), mesh,
+                    size=max(1, cfg.dataloader_workers),
+                    quantize=cfg.transfer_uint8,
+                )
+            for batch, _labels in test_iter:
+                eval_rng, r = jax.random.split(eval_rng)
+                acc.update(eval_step(state, batch, r))
+            test_avg = acc.averages()
         _check_nans(cfg, test_avg)
         exp.tb_logger.write_epoch("test", epoch, _loggable(test_avg))
         last_test = test_avg

@@ -123,18 +123,14 @@ def _forward_and_objective(
     return total_loss, new_batch_stats, metrics
 
 
-def make_train_step(
+def make_train_step_body(
     cfg: MopoeConfig,
     model: Optional[MMVae] = None,
     tx: Optional[optax.GradientTransformation] = None,
 ) -> Callable[[TrainState, Mapping[str, jnp.ndarray]], Tuple[TrainState, Dict[str, Any]]]:
-    """Build the jitted SPMD train step.
-
-    Sharding: the caller places ``state`` replicated and ``batch`` sharded
-    along the mesh data axis; under jit the XLA partitioner inserts the
-    gradient all-reduce over ICI automatically (the TPU-native equivalent
-    of DDP's backward hook, SURVEY.md §2.7).
-    """
+    """The PURE train step (unjitted) — jitted standalone by
+    make_train_step, or inlined into a multi-step ``lax.scan`` epoch
+    program (train/scan.py) where per-step dispatch latency matters."""
     from mopoe_mimic_tpu.train.state import make_optimizer
 
     model = model or MMVae(cfg)
@@ -165,14 +161,29 @@ def make_train_step(
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
+    return train_step
+
+
+def make_train_step(
+    cfg: MopoeConfig,
+    model: Optional[MMVae] = None,
+    tx: Optional[optax.GradientTransformation] = None,
+) -> Callable[[TrainState, Mapping[str, jnp.ndarray]], Tuple[TrainState, Dict[str, Any]]]:
+    """Build the jitted SPMD train step.
+
+    Sharding: the caller places ``state`` replicated and ``batch`` sharded
+    along the mesh data axis; under jit the XLA partitioner inserts the
+    gradient all-reduce over ICI automatically (the TPU-native equivalent
+    of DDP's backward hook, SURVEY.md §2.7).
+    """
     donate = (0,) if cfg.donate_state else ()
-    return jax.jit(train_step, donate_argnums=donate)
+    return jax.jit(make_train_step_body(cfg, model, tx), donate_argnums=donate)
 
 
-def make_eval_step(
+def make_eval_step_body(
     cfg: MopoeConfig, model: Optional[MMVae] = None
 ) -> Callable[[TrainState, Mapping[str, jnp.ndarray], jax.Array], Dict[str, Any]]:
-    """Jitted test-pass step (run_epochs.test :148-175): forward in eval
+    """The PURE test-pass step (run_epochs.test :148-175): forward in eval
     mode (BN running stats, no dropout), objective only."""
     model = model or MMVae(cfg)
 
@@ -184,4 +195,11 @@ def make_eval_step(
         )
         return metrics
 
-    return jax.jit(eval_step)
+    return eval_step
+
+
+def make_eval_step(
+    cfg: MopoeConfig, model: Optional[MMVae] = None
+) -> Callable[[TrainState, Mapping[str, jnp.ndarray], jax.Array], Dict[str, Any]]:
+    """Jitted test-pass step."""
+    return jax.jit(make_eval_step_body(cfg, model))

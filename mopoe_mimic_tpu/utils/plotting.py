@@ -82,20 +82,27 @@ def generate_plots(exp, state, epoch: int, num_samples: int = 0) -> Dict[str, np
     model = exp.model
     n = num_samples or min(cfg.batch_size, 8)
 
-    @jax.jit
-    def rand_gen(params, batch_stats, r):
-        return model.apply({"params": params, "batch_stats": batch_stats},
-                           cfg.batch_size, train=False, rngs={"reparam": r},
-                           method=lambda m, k, train: m.generate(k, train=train))
+    def build_programs():
+        @jax.jit
+        def rand_gen(params, batch_stats, r):
+            return model.apply({"params": params, "batch_stats": batch_stats},
+                               cfg.batch_size, train=False, rngs={"reparam": r},
+                               method=lambda m, k, train: m.generate(k, train=train))
 
-    @jax.jit
-    def cond_gen(params, batch_stats, batch, r):
-        def go(mod, b, train):
-            latents = mod.inference(b, train=train)
-            return mod.cond_generation(latents["subsets"], train=train)
+        @jax.jit
+        def cond_gen(params, batch_stats, batch, r):
+            def go(mod, b, train):
+                latents = mod.inference(b, train=train)
+                return mod.cond_generation(latents["subsets"], train=train)
 
-        return model.apply({"params": params, "batch_stats": batch_stats},
-                           batch, train=False, rngs={"reparam": r}, method=go)
+            return model.apply({"params": params, "batch_stats": batch_stats},
+                               batch, train=False, rngs={"reparam": r},
+                               method=go)
+
+        return rand_gen, cond_gen
+
+    # one build per experiment: a per-call jit recompiles every eval round
+    rand_gen, cond_gen = exp.cached_jit("plot_programs", build_programs)
 
     rng = jax.random.PRNGKey((cfg.seed or 0) + 71)
     rng, r1, r2 = jax.random.split(rng, 3)
@@ -155,7 +162,18 @@ def _swap_grids(exp, state, batch, rng) -> Dict[str, np.ndarray]:
     model = exp.model
     k = 4
 
-    @jax.jit
+    def build_swap():
+        return jax.jit(_make_swap(cfg, model, k))
+
+    swap = exp.cached_jit("swap_program", build_swap)
+    swapped = jax.device_get(swap(state.params, state.batch_stats, batch, rng))
+    return {
+        f"swapping/{m}": _to_grid(np.asarray(v).reshape((-1,) + v.shape[2:]), per_row=k)
+        for m, v in swapped.items()
+    }
+
+
+def _make_swap(cfg, model, k):
     def swap(params, batch_stats, b, r):
         def go(mod, b, train):
             latents = mod.inference(b, train=train)
@@ -180,11 +198,7 @@ def _swap_grids(exp, state, batch, rng) -> Dict[str, np.ndarray]:
         return model.apply({"params": params, "batch_stats": batch_stats},
                            b, train=False, rngs={"reparam": r}, method=go)
 
-    swapped = jax.device_get(swap(state.params, state.batch_stats, batch, rng))
-    return {
-        f"swapping/{m}": _to_grid(np.asarray(v).reshape((-1,) + v.shape[2:]), per_row=k)
-        for m, v in swapped.items()
-    }
+    return swap
 
 
 def _save_figures(exp, plots: Dict[str, np.ndarray], epoch: int) -> None:
