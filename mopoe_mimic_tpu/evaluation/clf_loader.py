@@ -117,7 +117,11 @@ def load_or_train_classifiers(
 
 
 def _make_predict(model, state: ClfState) -> Callable:
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    # pin to device ONCE: orbax-restored params are host numpy — passing
+    # them as jit arguments would re-upload the classifier every call
+    variables = jax.device_put(
+        {"params": state.params, "batch_stats": state.batch_stats}
+    )
 
     def _apply(v, x):
         return model.apply(v, x, train=False)

@@ -16,6 +16,7 @@ the analog of the reference's pretrained checkpoint directory.
 
 from __future__ import annotations
 
+import time
 from typing import Any, Callable, Dict, Mapping
 
 import jax
@@ -203,6 +204,8 @@ def test_generation(exp, state, evaluator: CoherenceEvaluator, max_batches: int 
         if fused is not None else None
     )
 
+    t_device = 0.0
+    t0 = time.perf_counter()
     rand_coherences = []
     cond_probs: Dict[str, Dict[str, list]] = {}
     all_labels = []
@@ -269,7 +272,9 @@ def test_generation(exp, state, evaluator: CoherenceEvaluator, max_batches: int 
                 out[k] = float(np.mean(vals)) if vals else float("nan")
         return out
 
+    t_device = time.perf_counter() - t0
     results = {"random_coherence": avg_nested(rand_coherences)}
+    t0 = time.perf_counter()
     if all_labels:
         labels_cat = np.concatenate(all_labels)
         probs_cat = {
@@ -279,12 +284,18 @@ def test_generation(exp, state, evaluator: CoherenceEvaluator, max_batches: int 
         results["cond_coherence"] = evaluator.cond_ap(
             probs_cat, labels_cat, exp.labels
         )
+    t_ap = time.perf_counter() - t0
+    t0 = time.perf_counter()
     if ref_text_ids:
         text_eval = _text_bleu_per_subset(
             cfg, exp, gen_text_ids, np.concatenate(ref_text_ids)
         )
         if text_eval:
             results["text_gen"] = text_eval
+    log.info(
+        f"coherence: device={t_device:.1f}s ap={t_ap:.1f}s "
+        f"bleu={time.perf_counter() - t0:.1f}s"
+    )
     return results
 
 

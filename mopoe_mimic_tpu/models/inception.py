@@ -263,7 +263,9 @@ def load_inception_embedder(path: str, batch_size: int = 64):
     params, stats = convert_inception_state_dict(sd)
     model = InceptionV3FID()
 
-    variables = {"params": params, "batch_stats": stats}
+    # pinned to device once — as jit args, host arrays would re-upload
+    # the weights every call (evaluation/clf_loader.py)
+    variables = jax.device_put({"params": params, "batch_stats": stats})
 
     def _apply(v, x):
         return model.apply(v, x, train=False)

@@ -120,6 +120,7 @@ def run_epochs(
         t0 = time.time()
         # ---- train pass ------------------------------------------------
         train_loader.set_epoch(epoch)
+        t_phase = time.time()
         idx_mat = (
             epoch_index_matrix(store_train, epoch, cfg.batch_size,
                                seed=cfg.seed or 0,
@@ -152,6 +153,8 @@ def run_epochs(
             train_avg = acc.averages()
         _check_nans(cfg, train_avg)
         exp.tb_logger.write_epoch("train", epoch, _loggable(train_avg))
+        t_train = time.time() - t_phase
+        t_phase = time.time()
 
         # ---- test pass ---------------------------------------------------
         test_loader.set_epoch(epoch)
@@ -188,6 +191,7 @@ def run_epochs(
         _check_nans(cfg, test_avg)
         exp.tb_logger.write_epoch("test", epoch, _loggable(test_avg))
         last_test = test_avg
+        t_test = time.time() - t_phase
 
         # ---- heavy evals every eval_freq epochs --------------------------
         evals_ran = (epoch + 1) % cfg.eval_freq == 0 or epoch == cfg.end_epoch - 1
@@ -200,7 +204,8 @@ def run_epochs(
         test_loss = float(test_avg["total_loss"])
         log.info(
             f"epoch {epoch}: train_loss={float(train_avg['total_loss']):.4f} "
-            f"test_loss={test_loss:.4f} ({elapsed:.1f}s)"
+            f"test_loss={test_loss:.4f} ({elapsed:.1f}s: "
+            f"train={t_train:.1f} test={t_test:.1f})"
         )
         if exp.experiments_df is not None:
             exp.experiments_df.update(

@@ -1,4 +1,4 @@
-"""Orbax checkpointing with true resume and best-k retention.
+"""Orbax checkpointing with true resume, best-k retention, async saves.
 
 The reference saves per-network state_dicts every 50 epochs
 (mimic/utils/experiment.py:388-402) but never saves optimizer state and
@@ -13,10 +13,22 @@ Retention = best-k by test loss PLUS always the latest:
     epoch is not among the best.
 Saves without a metric (periodic/final saves before any test pass) are
 retained by BestN's keep_checkpoints_without_metrics.
+
+Async saves: the device→host download of the full TrainState costs
+seconds over a thin link and was the steady-state epoch bottleneck once
+the compute moved into one scanned dispatch (train/scan.py). TrainState
+is immutable — the training loop replaces it rather than mutating — so a
+background worker can snapshot an epoch's state while later epochs train.
+The queue is bounded (2): if the writer falls behind, save() briefly
+blocks instead of pinning unbounded device memory. Every read API
+(restore / latest_epoch / best_epoch / all_epochs) drains pending saves
+first, so save-then-restore semantics are unchanged.
 """
 
 from __future__ import annotations
 
+import queue
+import threading
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
@@ -28,7 +40,8 @@ from mopoe_mimic_tpu.train.state import TrainState
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, max_to_keep: int = 3):
+    def __init__(self, directory: str, max_to_keep: int = 3,
+                 async_save: bool = True):
         policy = _pp.AnyPreservationPolicy(policies=[
             # reverse=True sorts descending so the n *lowest* losses survive
             _pp.BestN(get_metric_fn=_get_test_loss, reverse=True, n=max_to_keep),
@@ -43,6 +56,45 @@ class CheckpointManager:
                 create=True,
             ),
         )
+        self._queue: Optional[queue.Queue] = None
+        self._worker: Optional[threading.Thread] = None
+        self._error: Optional[BaseException] = None
+        if async_save:
+            self._queue = queue.Queue(maxsize=2)
+            self._worker = threading.Thread(
+                target=self._drain, name="ckpt-writer", daemon=True
+            )
+            self._worker.start()
+
+    # -- async worker ---------------------------------------------------
+
+    def _drain(self) -> None:
+        while True:
+            item = self._queue.get()
+            try:
+                if item is None:
+                    return
+                epoch, state, metrics, force = item
+                self._save_sync(epoch, state, metrics, force)
+            except BaseException as e:  # surfaced on the next save/read
+                self._error = e
+            finally:
+                self._queue.task_done()
+
+    def _raise_pending(self) -> None:
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise RuntimeError("async checkpoint save failed") from err
+
+    def _save_sync(self, epoch, state, metrics, force) -> None:
+        self._mgr.save(
+            epoch,
+            args=ocp.args.StandardSave(jax.device_get(state)),
+            metrics=metrics,
+            force=force,
+        )
+
+    # -- public API -----------------------------------------------------
 
     def save(
         self,
@@ -53,17 +105,25 @@ class CheckpointManager:
     ) -> None:
         if jax.process_index() != 0:
             return  # rank-0-only semantics (experiment.py:391-393)
-        self._mgr.save(
-            epoch,
-            args=ocp.args.StandardSave(jax.device_get(state)),
-            metrics=metrics,
-            force=force,
-        )
+        self._raise_pending()
+        if self._queue is not None:
+            # TrainState is immutable; holding the reference keeps the
+            # device buffers alive until the worker has downloaded them
+            self._queue.put((epoch, state, metrics, force))
+        else:
+            self._save_sync(epoch, state, metrics, force)
+            self._mgr.wait_until_finished()
+
+    def wait_until_finished(self) -> None:
+        if self._queue is not None:
+            self._queue.join()
         self._mgr.wait_until_finished()
+        self._raise_pending()
 
     def restore(
         self, state_template: TrainState, epoch: Optional[int] = None
     ) -> Tuple[int, TrainState]:
+        self.wait_until_finished()
         step = epoch if epoch is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError("no checkpoint found")
@@ -73,18 +133,27 @@ class CheckpointManager:
         return step, restored
 
     def latest_epoch(self) -> Optional[int]:
+        self.wait_until_finished()
         return self._mgr.latest_step()
 
     def best_epoch(self) -> Optional[int]:
         """Epoch of the lowest recorded test loss among retained
         checkpoints (None when no save carried metrics)."""
+        self.wait_until_finished()
         return self._mgr.best_step()
 
     def all_epochs(self):
+        self.wait_until_finished()
         return self._mgr.all_steps()
 
     def close(self):
+        if self._queue is not None and self._worker is not None:
+            self._queue.join()
+            self._queue.put(None)
+            self._worker.join()
+            self._worker = None
         self._mgr.close()
+        self._raise_pending()
 
 
 def _get_test_loss(metrics) -> float:
