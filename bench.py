@@ -128,7 +128,9 @@ def main():
                 0, len(ds), (args.steps, cfg.batch_size)
             ).astype(np.int32)
 
-    # warmup (compile + first-execution jitter)
+    # warmup (compile + first-execution jitter; through the axon tunnel
+    # the FIRST execution of a program costs minutes — server-side
+    # autotune — and must be absorbed here, not in a timed window)
     from mopoe_mimic_tpu.parallel.prefetch import prefetch_to_device, quantize_batch_uint8
 
     warm = shard_batch(mesh, quantize_batch_uint8(host_batch)) if args.uint8 else batch
@@ -138,7 +140,7 @@ def main():
     else:
         for _ in range(args.warmup):
             state, metrics = step(state, warm)
-    jax.block_until_ready(metrics["total_loss"])
+    float(metrics["total_loss"])  # value fetch — see run_window
 
     def run_window(n_steps: int) -> float:
         nonlocal state
@@ -169,7 +171,15 @@ def main():
         else:
             for _ in range(n_steps):
                 state, m = step(state, warm)
-        jax.block_until_ready(m["total_loss"])
+        # HONEST CLOCK: fetch a VALUE, don't block_until_ready. Through
+        # the axon tunnel block_until_ready returns before the program
+        # has executed (readiness is acknowledged at dispatch), so a
+        # block-based clock measures dispatch rate, not execution — it
+        # read 33-48k samples/sec where true execution throughput is
+        # ~6.2k (41 ms/step, memory-bandwidth roofline; BENCH.md round-3
+        # correction). A scalar device_get cannot complete until the
+        # producing program has actually run.
+        float(m["total_loss"])
         return time.perf_counter() - t0
 
     windows = []
@@ -205,7 +215,8 @@ def main():
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
         "spread_pct": round(spread_pct, 1),
         "protocol": f"median of {repeats}x{args.steps}-step windows, "
-                    f"{mode}",
+                    f"{mode}, value-fetch clock (block_until_ready is "
+                    f"async through the axon tunnel)",
     }))
 
 
