@@ -2,11 +2,16 @@
 with the batch gathered from the HBM-resident DeviceStore inside the scan
 body.
 
-Motivation: the per-step path dispatches one XLA program per batch; over a
-thin host↔device link each dispatch costs more than the 12 ms step compute
-(measured ~30 ms dispatch latency → a 231-step epoch spends 7 s of its
-10 s NOT computing). The reference cannot express this at all — its train
-loop is Python-per-batch by construction (mimic/run_epochs.py:52-142).
+Motivation: the per-step path dispatches one XLA program per batch
+(~30-45 ms RPC each over a thin host↔device link) and keeps the host in
+the loop for the whole epoch; the scan collapses an epoch to one dispatch
+and frees the (single-core) host for checkpoint writes, eval prep, and
+logging. Device time is identical — the flagship step is
+memory-bandwidth-bound at 41 ms either way (BENCH.md round-3 honest-clock
+correction) and per-step dispatches pipeline behind execution — so the
+scan's win is host-side, plus immunity to host stalls. The reference
+cannot express this at all — its train loop is Python-per-batch by
+construction (mimic/run_epochs.py:52-142).
 With the dataset resident in HBM (data/device_store.py) the entire epoch
 is data-independent control flow, so it compiles to a single ``lax.scan``
 whose carry is the train state: one dispatch and ONE host read per epoch
