@@ -113,7 +113,7 @@ def main():
         step = make_train_step(cfg)
         for _ in range(args.warmup):
             state, m = step(state, batch0)
-        jax.block_until_ready(m["total_loss"])
+        float(m["total_loss"])  # value fetch: the tunnel's block_until_ready returns pre-execution (BENCH.md round-3)
 
         t0 = time.perf_counter()
         done = 0
@@ -132,7 +132,7 @@ def main():
                     done += 1
                     if done >= args.steps:
                         break
-        jax.block_until_ready(m["total_loss"])
+        float(m["total_loss"])  # value fetch: the tunnel's block_until_ready returns pre-execution (BENCH.md round-3)
         dt = time.perf_counter() - t0
         sps = cfg.batch_size * args.steps / dt
         print(json.dumps({

@@ -76,11 +76,11 @@ def main():
     # --- resident-batch compute --------------------------------------------
     for _ in range(5):
         state, m = step(state, batch)
-    jax.block_until_ready(m["total_loss"])
+    float(m["total_loss"])  # value fetch: the tunnel's block_until_ready returns pre-execution (BENCH.md round-3)
     t0 = time.perf_counter()
     for _ in range(args.steps):
         state, m = step(state, batch)
-    jax.block_until_ready(m["total_loss"])
+    float(m["total_loss"])  # value fetch: the tunnel's block_until_ready returns pre-execution (BENCH.md round-3)
     dt_resident = (time.perf_counter() - t0) / args.steps
 
     # --- streaming: float32 vs uint8 transfer ------------------------------
@@ -95,14 +95,14 @@ def main():
                 done += 1
                 if done >= args.steps:
                     break
-        jax.block_until_ready(m["total_loss"])
+        float(m["total_loss"])  # value fetch: the tunnel's block_until_ready returns pre-execution (BENCH.md round-3)
         return (time.perf_counter() - t0) / args.steps
 
     # warm the uint8-shape executable before timing
     from mopoe_mimic_tpu.parallel.prefetch import quantize_batch_uint8
 
     state, m = step(state, shard_batch(mesh, quantize_batch_uint8(host_batch)))
-    jax.block_until_ready(m["total_loss"])
+    float(m["total_loss"])  # value fetch: the tunnel's block_until_ready returns pre-execution (BENCH.md round-3)
     dt_stream_f32 = stream(False)
     dt_stream_u8 = stream(True)
 
@@ -110,7 +110,7 @@ def main():
         with profiling.trace(args.trace):
             for _ in range(5):
                 state, m = step(state, batch)
-            jax.block_until_ready(m["total_loss"])
+            float(m["total_loss"])  # value fetch: the tunnel's block_until_ready returns pre-execution (BENCH.md round-3)
 
     bs = cfg.batch_size
     report = {
