@@ -25,7 +25,7 @@ from mopoe_mimic_tpu.train.state import TrainState
 from mopoe_mimic_tpu.train.step import make_eval_step, make_train_step
 from mopoe_mimic_tpu.utils.exceptions import NaNInLatent
 from mopoe_mimic_tpu.utils.logger import log
-from mopoe_mimic_tpu.utils.meters import MetricAccumulator
+from mopoe_mimic_tpu.utils.meters import MetricAccumulator, fetch_scalar_tree
 
 
 def _at_most(iterable, n: Optional[int]):
@@ -131,7 +131,7 @@ def run_epochs(
         if idx_mat is not None and len(idx_mat):
             # whole epoch in one dispatch; one host read for the metrics
             state, avg_dev = train_epoch_fn(state, store_train.cols, idx_mat)
-            train_avg = jax.device_get(avg_dev)
+            train_avg = fetch_scalar_tree(avg_dev)
         else:
             acc = MetricAccumulator()
             if store_train is not None:
@@ -169,7 +169,7 @@ def run_epochs(
             eval_rng, avg_dev = eval_epoch_fn(
                 state, eval_rng, store_test.cols, test_idx
             )
-            test_avg = jax.device_get(avg_dev)
+            test_avg = fetch_scalar_tree(avg_dev)
         else:
             acc = MetricAccumulator()
             if store_test is not None:

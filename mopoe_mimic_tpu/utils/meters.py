@@ -16,7 +16,26 @@ from __future__ import annotations
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+
+
+def fetch_scalar_tree(tree: Any) -> Any:
+    """Device pytree of scalars → host pytree of floats in TWO RPCs.
+
+    ``jax.device_get`` on a pytree issues one transfer RPC per leaf; over
+    the thin host↔device link each costs tens of ms, so a ~21-leaf epoch
+    metric tree costs ~0.3-0.7 s per read. Stacking the scalar leaves
+    into one vector on device (one dispatch) and fetching that (one
+    transfer) makes the read O(1) in leaf count. Falls back to plain
+    device_get when any leaf is non-scalar or already on host."""
+    leaves, td = jax.tree_util.tree_flatten(tree)
+    if not leaves or not all(
+        isinstance(l, jax.Array) and l.ndim == 0 for l in leaves
+    ):
+        return jax.device_get(tree)
+    flat = np.asarray(jnp.stack([l.astype(jnp.float32) for l in leaves]))
+    return td.unflatten([float(v) for v in flat])
 
 
 class MetricAccumulator:
@@ -34,10 +53,10 @@ class MetricAccumulator:
         self._count += 1
 
     def averages(self) -> Any:
-        """One device→host transfer for the whole epoch."""
+        """One device→host read for the whole epoch (fetch_scalar_tree)."""
         if self._sum is None:
             return {}
-        host = jax.device_get(self._sum)
+        host = fetch_scalar_tree(self._sum)
         return jax.tree_util.tree_map(
             lambda a: np.asarray(a, dtype=np.float64) / self._count, host
         )

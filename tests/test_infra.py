@@ -67,3 +67,27 @@ def test_metric_accumulator_means():
     assert avg["a"] == 2.0 and avg["b"]["c"] == 3.0  # true means, not last value
     flat = flatten_metrics(avg)
     assert flat == {"a": 2.0, "b/c": 3.0}
+
+
+def test_fetch_scalar_tree_two_rpc_path_and_fallback():
+    """fetch_scalar_tree collapses a scalar pytree into one stacked
+    fetch (per-leaf device_get RPCs cost tens of ms each through a thin
+    link — BENCH.md round-3) and preserves structure/values exactly;
+    non-scalar leaves fall back to plain device_get."""
+    import jax.numpy as jnp
+
+    from mopoe_mimic_tpu.utils.meters import fetch_scalar_tree
+
+    tree = {
+        "a": jnp.float32(1.5),
+        "b": {"c": jnp.float32(-2.0), "d": (jnp.float32(3.0), jnp.bool_(True))},
+    }
+    out = fetch_scalar_tree(tree)
+    assert out == {"a": 1.5, "b": {"c": -2.0, "d": (3.0, 1.0)}}
+    assert all(isinstance(x, float) for x in (out["a"], out["b"]["c"]))
+
+    # fallback: vector leaf → device_get semantics, dtype preserved
+    mixed = {"v": jnp.arange(3, dtype=jnp.int32), "s": jnp.float32(4.0)}
+    out2 = fetch_scalar_tree(mixed)
+    np.testing.assert_array_equal(out2["v"], np.arange(3, dtype=np.int32))
+    assert float(out2["s"]) == 4.0
