@@ -100,15 +100,19 @@ class Callbacks:
         elif epoch >= cfg.start_early_stopping_epoch:
             self.early_stopping_index += 1
 
-        if self.ckpt is not None and (
-            (improved and cfg.checkpoint_on_improvement)
-            or (epoch + 1) % cfg.checkpoint_freq == 0
-            or epoch == cfg.end_epoch - 1
-        ):
-            try:
-                self.ckpt.save(epoch, state, metrics={"test_loss": test_loss})
-            except TypeError:  # manager without metric support
-                self.ckpt.save(epoch, state)
+        if self.ckpt is not None:
+            boundary = (epoch + 1) % cfg.checkpoint_freq == 0 or epoch == cfg.end_epoch - 1
+            stage = getattr(self.ckpt, "stage", None)
+            if improved and cfg.checkpoint_on_improvement and stage is not None and not boundary:
+                # zero-traffic: hold the immutable device state as the
+                # pending best; downloaded+written at the next boundary /
+                # early stop / close / read (checkpoints.py module doc)
+                stage(epoch, state, {"test_loss": test_loss})
+            elif boundary or (improved and cfg.checkpoint_on_improvement):
+                try:
+                    self.ckpt.save(epoch, state, metrics={"test_loss": test_loss})
+                except TypeError:  # manager without metric support
+                    self.ckpt.save(epoch, state)
 
         stop = self.early_stopping_index > cfg.max_early_stopping_index
         if stop:
@@ -116,4 +120,6 @@ class Callbacks:
                 f"early stopping at epoch {epoch}: no improvement for "
                 f"{self.early_stopping_index} test epochs"
             )
+            if self.ckpt is not None and hasattr(self.ckpt, "flush_staged"):
+                self.ckpt.flush_staged()  # persist the staged best now
         return stop, state

@@ -23,6 +23,20 @@ The queue is bounded (2): if the writer falls behind, save() briefly
 blocks instead of pinning unbounded device memory. Every read API
 (restore / latest_epoch / best_epoch / all_epochs) drains pending saves
 first, so save-then-restore semantics are unchanged.
+
+Staged best (``stage``/``flush_staged``): improvement-epoch saves are
+*staged*, not written — staging just holds the python reference to the
+immutable TrainState, keeping its buffers alive in HBM at zero link
+traffic. Early training improves almost every epoch, and each eager
+~450 MB state download saturated the host↔device link for ~13 s/epoch
+(measured: the next test pass's RPCs queue behind it). The staged best
+is downloaded+written only at checkpoint_freq boundaries, on early
+stop, at the final epoch, on close(), and before any read — so the
+best state is never lost at run end, and mid-run crash exposure is
+bounded by checkpoint_freq exactly like the reference's every-50-epochs
+policy (experiment.py:388-402). A superseded staged best (a newer
+improvement before any flush) is simply replaced; HBM holds at most one
+extra TrainState.
 """
 
 from __future__ import annotations
@@ -59,6 +73,7 @@ class CheckpointManager:
         self._queue: Optional[queue.Queue] = None
         self._worker: Optional[threading.Thread] = None
         self._error: Optional[BaseException] = None
+        self._staged: Optional[Tuple[int, TrainState, Optional[Dict]]] = None
         if async_save:
             self._queue = queue.Queue(maxsize=2)
             self._worker = threading.Thread(
@@ -105,6 +120,13 @@ class CheckpointManager:
     ) -> None:
         if jax.process_index() != 0:
             return  # rank-0-only semantics (experiment.py:391-393)
+        if self._staged is not None:
+            # keep orbax steps monotonic: write (or drop, if same-epoch)
+            # the pending staged best before this newer save
+            s_epoch, s_state, s_metrics = self._staged
+            self._staged = None
+            if s_epoch < epoch:
+                self.save(s_epoch, s_state, metrics=s_metrics)
         self._raise_pending()
         if self._queue is not None:
             # TrainState is immutable; holding the reference keeps the
@@ -114,7 +136,32 @@ class CheckpointManager:
             self._save_sync(epoch, state, metrics, force)
             self._mgr.wait_until_finished()
 
+    def stage(
+        self,
+        epoch: int,
+        state: TrainState,
+        metrics: Optional[Dict[str, float]] = None,
+    ) -> None:
+        """Hold ``state`` as the pending best WITHOUT downloading it.
+
+        TrainState is immutable, so keeping the reference keeps the
+        device buffers alive; the download + orbax write happen at the
+        next flush_staged() (boundary/stop/close/read). A newer stage()
+        replaces an unflushed older one."""
+        if jax.process_index() != 0:
+            return
+        self._staged = (epoch, state, metrics)
+
+    def flush_staged(self) -> None:
+        """Write the pending staged best, if any (one state download)."""
+        if self._staged is None:
+            return
+        epoch, state, metrics = self._staged
+        self._staged = None
+        self.save(epoch, state, metrics=metrics)
+
     def wait_until_finished(self) -> None:
+        self.flush_staged()
         if self._queue is not None:
             self._queue.join()
         self._mgr.wait_until_finished()
@@ -147,6 +194,7 @@ class CheckpointManager:
         return self._mgr.all_steps()
 
     def close(self):
+        self.flush_staged()
         if self._queue is not None and self._worker is not None:
             self._queue.join()
             self._queue.put(None)

@@ -37,3 +37,35 @@ def test_metricless_saves_are_retained(tmp_path):
     mgr.save(1, _state(1.0), metrics={"test_loss": 3.0})
     assert 0 in mgr.all_epochs()
     mgr.close()
+
+
+def test_staged_best_flushes_on_read_and_supersede(tmp_path):
+    """stage() holds the pending best with no write; a newer stage
+    replaces it; any read API flushes it to disk first; save() of a
+    newer epoch flushes the older staged entry (orbax steps stay
+    monotonic)."""
+    mgr = CheckpointManager(str(tmp_path / "ck"), max_to_keep=2)
+    mgr.save(0, _state(0.0), metrics={"test_loss": 9.0})
+    mgr.stage(1, _state(1.0), {"test_loss": 5.0})
+    mgr.stage(2, _state(2.0), {"test_loss": 3.0})  # supersedes epoch 1
+    # read flushes: epoch 2 lands, epoch 1 never written
+    assert mgr.latest_epoch() == 2
+    assert 1 not in mgr.all_epochs()
+    assert mgr.best_epoch() == 2
+    # an older staged best flushes before a newer direct save
+    mgr.stage(3, _state(3.0), {"test_loss": 2.0})
+    mgr.save(4, _state(4.0), metrics={"test_loss": 4.0})
+    kept = set(mgr.all_epochs())
+    assert 3 in kept and 4 in kept
+    ep, restored = mgr.restore(_state(0.0), epoch=3)
+    assert restored["params"]["w"][0] == 3.0
+    mgr.close()
+
+
+def test_staged_best_persisted_by_close(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "ck"), max_to_keep=2)
+    mgr.stage(5, _state(5.0), {"test_loss": 1.0})
+    mgr.close()
+    mgr2 = CheckpointManager(str(tmp_path / "ck"), max_to_keep=2)
+    assert mgr2.latest_epoch() == 5
+    mgr2.close()
