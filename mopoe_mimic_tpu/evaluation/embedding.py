@@ -46,12 +46,57 @@ def make_default_embedder(exp, quick_epochs: int = 1) -> Callable[[np.ndarray], 
     n_labels = len(exp.labels)
     img_mod = next(m for m in cfg.modality_names if m != "text")
     model = make_classifier(cfg, img_mod, n_labels)
-    state, _ = train_classifier(
-        cfg, img_mod, exp.dataset_train, exp.dataset_test, n_labels,
-        max_epochs=quick_epochs,
-    )
 
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    # disk-cached per dataset fingerprint under dir_clf, like the
+    # coherence classifiers (clf_loader.py): the embedder is a fixed
+    # function of the dataset, and retraining it cost ~97 s of every
+    # fresh process's first PRD round at 65k scale (RESULTS_r3)
+    from pathlib import Path
+
+    import orbax.checkpoint as ocp
+
+    from mopoe_mimic_tpu.evaluation.clf_loader import _dataset_fingerprint
+    from mopoe_mimic_tpu.train.clf_trainer import ClfState
+
+    cache_dir = (
+        Path(cfg.dir_clf).expanduser() / _dataset_fingerprint(cfg)
+        / f"fid_embedder_{img_mod}_{cfg.img_size}"
+    )
+    state = None
+    if cache_dir.exists():
+        try:
+            restored = ocp.StandardCheckpointer().restore(
+                cache_dir.absolute(), target=None
+            )
+            state = ClfState(
+                params=restored["params"],
+                batch_stats=restored.get("batch_stats", {}),
+                opt_state=(), rng=jax.random.PRNGKey(0),
+            )
+            log.info(f"FID embedder: loaded ClfImg trunk from {cache_dir}")
+        except Exception as e:
+            log.warning(f"FID embedder cache load failed: {e}; retraining")
+    if state is None:
+        state, _ = train_classifier(
+            cfg, img_mod, exp.dataset_train, exp.dataset_test, n_labels,
+            max_epochs=quick_epochs,
+        )
+        try:
+            cache_dir.parent.mkdir(parents=True, exist_ok=True)
+            ocp.StandardCheckpointer().save(
+                cache_dir.absolute(),
+                {"params": jax.device_get(state.params),
+                 "batch_stats": jax.device_get(state.batch_stats)},
+                force=True,
+            )
+        except Exception as e:
+            log.warning(f"could not cache the FID embedder: {e}")
+
+    # pin once: orbax restores host numpy, and re-uploading weights per
+    # call costs per-leaf RPCs (clf_loader._make_predict)
+    variables = jax.device_put(
+        {"params": state.params, "batch_stats": state.batch_stats}
+    )
 
     def _apply(v, x):
         # multi-label probabilities as a low-dim embedding proxy; richer

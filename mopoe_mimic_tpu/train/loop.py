@@ -219,6 +219,12 @@ def run_epochs(
                 run_heavy_evals(epoch)
             break
 
+    # durable-on-return: flush the staged best and drain the async
+    # checkpoint writer so callers (and tests cleaning up run dirs) see
+    # every enqueued save on disk when run_epochs returns
+    if exp.checkpoints is not None:
+        exp.checkpoints.wait_until_finished()
+
     return {"state": state, "train": train_avg, "test": last_test,
             "epochs_run": len(epoch_times),
             "mean_epoch_time": float(np.mean(epoch_times)) if epoch_times else 0.0}
