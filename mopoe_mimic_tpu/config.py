@@ -199,6 +199,19 @@ class MopoeConfig:
     # ----- TPU-native knobs (no reference counterpart) ----------------------
     compute_dtype: str = "bfloat16"  # matmul/conv compute dtype
     param_dtype: str = "float32"
+    # BatchNorm normalize/affine dtype in the residual-block networks.
+    # "float32" = round-1/2 behavior (every BN output and the BN/ReLU
+    # activations saved for the backward pass are f32 even in bf16 mode);
+    # "compute" runs that math in compute_dtype, halving the bytes of the
+    # dominant activation traffic on a step that is HBM-bandwidth-bound
+    # (BENCH.md round-3). Batch statistics and running stats stay float32
+    # either way (flax promotes stat computation internally).
+    bn_compute_dtype: str = "float32"  # "float32" | "compute" | dtype name
+    # "blocks": jax.checkpoint each residual block — save only block
+    # inputs, recompute interiors in the backward pass. Trades
+    # saved-activation reads for recompute writes; measured by
+    # benchmarks/bench_step_diet.py before changing any default.
+    remat: str = "none"  # "none" | "blocks"
     data_axis: str = "data"  # mesh axis the batch is sharded over
     mesh_shape: Tuple[int, ...] = ()  # () → all local devices on data axis
     # donate train state buffers to the step. Default off: buffer donation

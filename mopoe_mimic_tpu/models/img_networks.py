@@ -30,6 +30,7 @@ from mopoe_mimic_tpu.models.resblocks import (
     ResidualBlockTransposeConv,
     TorchConvTranspose,
     _conv,
+    maybe_remat,
 )
 
 _A, _B = 2.0, 0.3
@@ -41,6 +42,8 @@ class FeatureExtractorImg(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     bn_eps: float = 1e-5
+    bn_dtype: Optional[jnp.dtype] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = True) -> jnp.ndarray:
@@ -49,20 +52,21 @@ class FeatureExtractorImg(nn.Module):
             raise NotImplementedError(f"img_size {self.img_size} unsupported")
         kw = dict(a=_A, b=_B, use_conv_bias=False, channelwise_dropout=True,
                   dtype=self.dtype, param_dtype=self.param_dtype,
-                  bn_eps=self.bn_eps)
+                  bn_eps=self.bn_eps, bn_dtype=self.bn_dtype)
         d = self.dim
+        Block = maybe_remat(ResidualBlockConv, self.remat)
         h = _conv(d, 3, 2, 1, False, self.dtype, self.param_dtype, "conv1", 2)(x)
-        h = ResidualBlockConv(2 * d, 4, 2, 1, name="resblock_1", **kw)(h, train=train)
-        h = ResidualBlockConv(3 * d, 4, 2, 1, name="resblock_2", **kw)(h, train=train)
-        h = ResidualBlockConv(4 * d, 4, 2, 1, name="resblock_3", **kw)(h, train=train)
+        h = Block(2 * d, 4, 2, 1, name="resblock_1", **kw)(h, train)
+        h = Block(3 * d, 4, 2, 1, name="resblock_2", **kw)(h, train)
+        h = Block(4 * d, 4, 2, 1, name="resblock_3", **kw)(h, train)
         if self.img_size == 64:
-            h = ResidualBlockConv(5 * d, 4, 2, 0, name="resblock_4", **kw)(h, train=train)
+            h = Block(5 * d, 4, 2, 0, name="resblock_4", **kw)(h, train)
         elif self.img_size == 128:
-            h = ResidualBlockConv(5 * d, 4, 2, 1, name="resblock_4", **kw)(h, train=train)
-            h = ResidualBlockConv(5 * d, 4, 2, 0, name="resblock_5", **kw)(h, train=train)
+            h = Block(5 * d, 4, 2, 1, name="resblock_4", **kw)(h, train)
+            h = Block(5 * d, 4, 2, 0, name="resblock_5", **kw)(h, train)
         else:  # 256
-            h = ResidualBlockConv(5 * d, 4, 4, 1, name="resblock_4", **kw)(h, train=train)
-            h = ResidualBlockConv(5 * d, 4, 2, 0, name="resblock_5", **kw)(h, train=train)
+            h = Block(5 * d, 4, 4, 1, name="resblock_4", **kw)(h, train)
+            h = Block(5 * d, 4, 2, 0, name="resblock_5", **kw)(h, train)
         return h.reshape(h.shape[0], -1)  # [B, 5·dim] (1×1 spatial)
 
 
@@ -73,22 +77,25 @@ class DataGeneratorImg(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     bn_eps: float = 1e-5
+    bn_dtype: Optional[jnp.dtype] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, *, train: bool = True) -> jnp.ndarray:
         """feats: [B, 1, 1, 5·dim] → [B, img_size, img_size, image_channels]."""
         kw = dict(a=_A, b=_B, use_conv_bias=False, channelwise_dropout=True,
                   dtype=self.dtype, param_dtype=self.param_dtype,
-                  bn_eps=self.bn_eps)
+                  bn_eps=self.bn_eps, bn_dtype=self.bn_dtype)
         d = self.dim
-        h = ResidualBlockTransposeConv(4 * d, 4, 1, 0, name="resblock_1", **kw)(feats, train=train)
-        h = ResidualBlockTransposeConv(3 * d, 4, 2, 1, name="resblock_2", **kw)(h, train=train)
-        h = ResidualBlockTransposeConv(2 * d, 4, 2, 1, name="resblock_3", **kw)(h, train=train)
-        h = ResidualBlockTransposeConv(1 * d, 4, 2, 1, name="resblock_4", **kw)(h, train=train)
+        Block = maybe_remat(ResidualBlockTransposeConv, self.remat)
+        h = Block(4 * d, 4, 1, 0, name="resblock_1", **kw)(feats, train)
+        h = Block(3 * d, 4, 2, 1, name="resblock_2", **kw)(h, train)
+        h = Block(2 * d, 4, 2, 1, name="resblock_3", **kw)(h, train)
+        h = Block(1 * d, 4, 2, 1, name="resblock_4", **kw)(h, train)
         if self.img_size >= 128:
-            h = ResidualBlockTransposeConv(1 * d, 4, 2, 1, name="resblock_5", **kw)(h, train=train)
+            h = Block(1 * d, 4, 2, 1, name="resblock_5", **kw)(h, train)
         if self.img_size == 256:
-            h = ResidualBlockTransposeConv(1 * d, 4, 2, 1, name="resblock_6", **kw)(h, train=train)
+            h = Block(1 * d, 4, 2, 1, name="resblock_6", **kw)(h, train)
         h = TorchConvTranspose(
             self.image_channels, 3, 2, 1, 1, True, self.dtype, self.param_dtype,
             name="conv_out",
@@ -111,6 +118,8 @@ class EncoderImg(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     bn_eps: float = 1e-5
+    bn_dtype: Optional[jnp.dtype] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = True):
@@ -123,7 +132,8 @@ class EncoderImg(nn.Module):
         elif self.feature_extractor == "resnet":
             h = FeatureExtractorImg(
                 self.dim, self.img_size, self.dtype, self.param_dtype,
-                bn_eps=self.bn_eps, name="feature_extractor",
+                bn_eps=self.bn_eps, bn_dtype=self.bn_dtype, remat=self.remat,
+                name="feature_extractor",
             )(x, train=train)
         else:
             raise NotImplementedError(self.feature_extractor)
@@ -145,6 +155,8 @@ class DecoderImg(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     bn_eps: float = 1e-5
+    bn_dtype: Optional[jnp.dtype] = None
+    remat: bool = False
 
     FIXED_SCALE: float = 0.75
 
@@ -164,5 +176,6 @@ class DecoderImg(nn.Module):
         feats = feats.reshape(feats.shape[0], 1, 1, -1)
         return DataGeneratorImg(
             self.dim, self.img_size, self.image_channels, self.dtype,
-            self.param_dtype, bn_eps=self.bn_eps, name="img_generator",
+            self.param_dtype, bn_eps=self.bn_eps, bn_dtype=self.bn_dtype,
+            remat=self.remat, name="img_generator",
         )(feats, train=train)

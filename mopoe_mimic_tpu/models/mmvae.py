@@ -54,6 +54,13 @@ class MMVae(nn.Module):
         cfg = self.config
         dtype = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else jnp.float32
         pdtype = jnp.dtype(cfg.param_dtype)
+        # byte-diet knobs (config.py): BN math dtype + per-block remat.
+        # "compute" resolves to the compute dtype; any other value is a
+        # dtype name ("float32" = the parity default).
+        bn_dtype = dtype if cfg.bn_compute_dtype == "compute" else jnp.dtype(cfg.bn_compute_dtype)
+        if cfg.remat not in ("none", "blocks"):
+            raise NotImplementedError(f"remat mode {cfg.remat!r}")
+        remat = cfg.remat == "blocks"
         style = cfg.style_dims if cfg.factorized_representation else {
             m: 0 for m in cfg.modality_names
         }
@@ -71,6 +78,8 @@ class MMVae(nn.Module):
                     dtype=dtype,
                     param_dtype=pdtype,
                     bn_eps=cfg.bn_eps,
+                    bn_dtype=bn_dtype,
+                    remat=remat,
                     name=f"encoder_{m}",
                 )
                 decoders[m] = DecoderText(
@@ -86,6 +95,8 @@ class MMVae(nn.Module):
                     dtype=dtype,
                     param_dtype=pdtype,
                     bn_eps=cfg.bn_eps,
+                    bn_dtype=bn_dtype,
+                    remat=remat,
                     name=f"decoder_{m}",
                 )
             else:
@@ -98,6 +109,8 @@ class MMVae(nn.Module):
                     dtype=dtype,
                     param_dtype=pdtype,
                     bn_eps=cfg.bn_eps,
+                    bn_dtype=bn_dtype,
+                    remat=remat,
                     name=f"encoder_{m}",
                 )
                 decoders[m] = DecoderImg(
@@ -109,6 +122,8 @@ class MMVae(nn.Module):
                     dtype=dtype,
                     param_dtype=pdtype,
                     bn_eps=cfg.bn_eps,
+                    bn_dtype=bn_dtype,
+                    remat=remat,
                     name=f"decoder_{m}",
                 )
         self.encoders = encoders

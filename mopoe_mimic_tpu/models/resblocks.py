@@ -110,6 +110,11 @@ class _BlockBase(nn.Module):
     # inputs (docs/STABILITY.md); cfg.bn_eps raises this floor as an
     # opt-in stability mode without touching the architecture.
     bn_eps: float = 1e-5
+    # dtype of the BN normalize/affine math and output (cfg.bn_compute_dtype).
+    # None = float32 (reference-precision parity). Batch statistics are
+    # promoted to float32 inside flax regardless, so bf16 here only thins
+    # the activation traffic, not the stat accumulation.
+    bn_dtype: Optional[jnp.dtype] = None
 
     def _bn(self, name: str) -> nn.BatchNorm:
         # torch BatchNorm defaults: eps=1e-5, running-stat momentum 0.1
@@ -118,7 +123,7 @@ class _BlockBase(nn.Module):
             use_running_average=None,
             momentum=0.9,
             epsilon=self.bn_eps,
-            dtype=jnp.float32,
+            dtype=self.bn_dtype or jnp.float32,
             param_dtype=self.param_dtype,
             name=name,
         )
@@ -138,7 +143,10 @@ class ResidualBlockConv(_BlockBase):
     use_shortcut: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        # `train` is positional-or-keyword so nn.remat can mark it static
+        # (maybe_remat below); it selects the BN branch and must stay a
+        # Python bool under tracing.
         spatial = x.ndim - 2
         det = not train
         h = self._bn("bn1")(x, use_running_average=det)
@@ -169,7 +177,7 @@ class ResidualBlockTransposeConv(_BlockBase):
     use_shortcut: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         spatial = x.ndim - 2
         det = not train
         h = self._bn("bn1")(x, use_running_average=det)
@@ -196,3 +204,14 @@ class ResidualBlockTransposeConv(_BlockBase):
             )(x)
             residual = self._bn("shortcut_bn")(residual, use_running_average=det)
         return self.a * residual + self.b * h
+
+
+def maybe_remat(block_cls, enabled: bool):
+    """cfg.remat='blocks': ``jax.checkpoint`` the block — only its input is
+    saved for the backward pass; BN/conv/dropout interiors are recomputed
+    (same rng replay, bit-identical values). static_argnums=(2,) marks
+    ``train`` (self=0, x=1) static so the BN train/eval Python branch
+    survives the transform. No-op (returns the class) when disabled."""
+    if not enabled:
+        return block_cls
+    return nn.remat(block_cls, static_argnums=(2,))

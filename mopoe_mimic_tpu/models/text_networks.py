@@ -30,6 +30,7 @@ from mopoe_mimic_tpu.models.resblocks import (
     ResidualBlockTransposeConv,
     TorchConvTranspose,
     _conv,
+    maybe_remat,
 )
 
 _A, _B = 2.0, 0.3
@@ -40,18 +41,21 @@ class FeatureExtractorTextChar(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     bn_eps: float = 1e-5
+    bn_dtype: Optional[jnp.dtype] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = True) -> jnp.ndarray:
         """x: [B, 1024, num_features] one-hot → [B, 5·dim]."""
         kw = dict(a=_A, b=_B, dtype=self.dtype, param_dtype=self.param_dtype,
-                  bn_eps=self.bn_eps)
+                  bn_eps=self.bn_eps, bn_dtype=self.bn_dtype)
         d = self.dim
+        Block = maybe_remat(ResidualBlockConv, self.remat)
         h = _conv(d, 4, 2, 1, True, self.dtype, self.param_dtype, "conv1", 1)(x)
         widths = [2 * d, 3 * d, 4 * d, 4 * d, 4 * d, 5 * d, 5 * d]
         for i, w in enumerate(widths, start=1):
-            h = ResidualBlockConv(w, 4, 2, 1, name=f"resblock_{i}", **kw)(h, train=train)
-        h = ResidualBlockConv(5 * d, 4, 2, 0, name="resblock_8", **kw)(h, train=train)
+            h = Block(w, 4, 2, 1, name=f"resblock_{i}", **kw)(h, train)
+        h = Block(5 * d, 4, 2, 0, name="resblock_8", **kw)(h, train)
         return h.reshape(h.shape[0], -1)
 
 
@@ -61,17 +65,20 @@ class DataGeneratorTextChar(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     bn_eps: float = 1e-5
+    bn_dtype: Optional[jnp.dtype] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, *, train: bool = True) -> jnp.ndarray:
         """feats: [B, 1, 5·dim] → log-softmax logits [B, 1024, num_features]."""
         kw = dict(a=_A, b=_B, dtype=self.dtype, param_dtype=self.param_dtype,
-                  bn_eps=self.bn_eps)
+                  bn_eps=self.bn_eps, bn_dtype=self.bn_dtype)
         d = self.dim
-        h = ResidualBlockTransposeConv(5 * d, 4, 1, 0, name="resblock_1", **kw)(feats, train=train)
+        Block = maybe_remat(ResidualBlockTransposeConv, self.remat)
+        h = Block(5 * d, 4, 1, 0, name="resblock_1", **kw)(feats, train)
         widths = [5 * d, 5 * d, 4 * d, 4 * d, 3 * d, 2 * d, 1 * d]
         for i, w in enumerate(widths, start=2):
-            h = ResidualBlockTransposeConv(w, 4, 2, 1, name=f"resblock_{i}", **kw)(h, train=train)
+            h = Block(w, 4, 2, 1, name=f"resblock_{i}", **kw)(h, train)
         h = TorchConvTranspose(
             self.num_features, 4, 2, 1, 0, True, self.dtype, self.param_dtype,
             name="conv2",
@@ -86,12 +93,14 @@ class FeatureExtractorTextWord(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     bn_eps: float = 1e-5
+    bn_dtype: Optional[jnp.dtype] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, ids: jnp.ndarray, *, train: bool = True) -> jnp.ndarray:
         """ids: [B, L] int → [B, 5·dim]."""
         kw = dict(a=_A, b=_B, dtype=self.dtype, param_dtype=self.param_dtype,
-                  bn_eps=self.bn_eps)
+                  bn_eps=self.bn_eps, bn_dtype=self.bn_dtype)
         d = self.dim
         ids = ids.astype(jnp.int32)
         emb = nn.Embed(
@@ -102,13 +111,14 @@ class FeatureExtractorTextWord(nn.Module):
         # quirk mirrored on purpose: index 0 is <exc> (unknown), not <pad>
         # (MimicDataset.py:359) — torch zeroes+freezes the <exc> row.
         emb = emb * (ids != 0)[..., None].astype(emb.dtype)
+        Block = maybe_remat(ResidualBlockConv, self.remat)
         h = _conv(d, 4, 2, 1, True, self.dtype, self.param_dtype, "conv1", 1)(emb)
         widths = [2 * d, 3 * d, 4 * d, 4 * d, 4 * d, 5 * d]
         for i, w in enumerate(widths, start=1):
-            h = ResidualBlockConv(w, 4, 2, 1, name=f"resblock_{i}", **kw)(h, train=train)
+            h = Block(w, 4, 2, 1, name=f"resblock_{i}", **kw)(h, train)
         if self.len_sequence > 500:
-            h = ResidualBlockConv(5 * d, 4, 2, 1, name="resblock_7", **kw)(h, train=train)
-            h = ResidualBlockConv(5 * d, 4, 2, 0, name="resblock_8", **kw)(h, train=train)
+            h = Block(5 * d, 4, 2, 1, name="resblock_7", **kw)(h, train)
+            h = Block(5 * d, 4, 2, 0, name="resblock_8", **kw)(h, train)
         return h.reshape(h.shape[0], -1)
 
 
@@ -120,27 +130,30 @@ class DataGeneratorTextWord(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     bn_eps: float = 1e-5
+    bn_dtype: Optional[jnp.dtype] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, *, train: bool = True) -> jnp.ndarray:
         kw = dict(a=_A, b=_B, dtype=self.dtype, param_dtype=self.param_dtype,
-                  bn_eps=self.bn_eps)
+                  bn_eps=self.bn_eps, bn_dtype=self.bn_dtype)
         d = self.dim
-        h = ResidualBlockTransposeConv(5 * d, 4, 1, 0, name="resblock_1", **kw)(feats, train=train)
-        h = ResidualBlockTransposeConv(5 * d, 4, 2, 1, name="resblock_2", **kw)(h, train=train)
-        h = ResidualBlockTransposeConv(5 * d, 4, 2, 1, name="resblock_3", **kw)(h, train=train)
-        h = ResidualBlockTransposeConv(4 * d, 4, 2, 1, name="resblock_4", **kw)(h, train=train)
-        h = ResidualBlockTransposeConv(4 * d, 4, 2, 1, name="resblock_5", **kw)(h, train=train)
+        Block = maybe_remat(ResidualBlockTransposeConv, self.remat)
+        h = Block(5 * d, 4, 1, 0, name="resblock_1", **kw)(feats, train)
+        h = Block(5 * d, 4, 2, 1, name="resblock_2", **kw)(h, train)
+        h = Block(5 * d, 4, 2, 1, name="resblock_3", **kw)(h, train)
+        h = Block(4 * d, 4, 2, 1, name="resblock_4", **kw)(h, train)
+        h = Block(4 * d, 4, 2, 1, name="resblock_5", **kw)(h, train)
         if self.len_sequence >= 512:
-            h = ResidualBlockTransposeConv(3 * d, 4, 2, 1, name="resblock_6", **kw)(h, train=train)
-            h = ResidualBlockTransposeConv(2 * d, 4, 2, 1, name="resblock_7", **kw)(h, train=train)
-            h = ResidualBlockTransposeConv(1 * d, 4, 2, 1, name="resblock_8", **kw)(h, train=train)
+            h = Block(3 * d, 4, 2, 1, name="resblock_6", **kw)(h, train)
+            h = Block(2 * d, 4, 2, 1, name="resblock_7", **kw)(h, train)
+            h = Block(1 * d, 4, 2, 1, name="resblock_8", **kw)(h, train)
             h = TorchConvTranspose(
                 self.vocab_size, 4, 2, 1, 0, True, self.dtype, self.param_dtype,
                 name="conv_out",
             )(h)
         elif self.len_sequence == 128:
-            h = ResidualBlockTransposeConv(1 * d, 4, 2, 1, name="resblock_6", **kw)(h, train=train)
+            h = Block(1 * d, 4, 2, 1, name="resblock_6", **kw)(h, train)
             h = _conv(self.vocab_size, 1, 1, 0, True, self.dtype, self.param_dtype, "conv_out", 1)(h)
         else:
             raise NotImplementedError(
@@ -167,18 +180,22 @@ class EncoderText(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     bn_eps: float = 1e-5
+    bn_dtype: Optional[jnp.dtype] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = True):
         if self.text_encoding == "char":
             h = FeatureExtractorTextChar(
                 self.dim, self.dtype, self.param_dtype,
-                bn_eps=self.bn_eps, name="feature_extractor",
+                bn_eps=self.bn_eps, bn_dtype=self.bn_dtype, remat=self.remat,
+                name="feature_extractor",
             )(x, train=train)
         elif self.text_encoding == "word":
             h = FeatureExtractorTextWord(
                 self.dim, self.vocab_size, self.len_sequence, self.dtype,
-                self.param_dtype, bn_eps=self.bn_eps, name="feature_extractor",
+                self.param_dtype, bn_eps=self.bn_eps, bn_dtype=self.bn_dtype,
+                remat=self.remat, name="feature_extractor",
             )(x, train=train)
         else:
             raise NotImplementedError(self.text_encoding)
@@ -201,6 +218,8 @@ class DecoderText(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     bn_eps: float = 1e-5
+    bn_dtype: Optional[jnp.dtype] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -219,10 +238,12 @@ class DecoderText(nn.Module):
         if self.text_encoding == "char":
             return DataGeneratorTextChar(
                 self.dim, self.num_features, self.dtype, self.param_dtype,
-                bn_eps=self.bn_eps, name="text_generator",
+                bn_eps=self.bn_eps, bn_dtype=self.bn_dtype, remat=self.remat,
+                name="text_generator",
             )(feats, train=train)
         return DataGeneratorTextWord(
             self.dim, self.num_features, self.len_sequence, self.last_layer,
             self.dtype, self.param_dtype, bn_eps=self.bn_eps,
+            bn_dtype=self.bn_dtype, remat=self.remat,
             name="text_generator",
         )(feats, train=train)
