@@ -39,6 +39,11 @@ def main():
                     help="disable the pallas fusion kernel (ablation; it is "
                     "ON by default on TPU, a no-op elsewhere)")
     ap.add_argument("--fp32", action="store_true", help="float32 compute instead of bf16")
+    ap.add_argument("--bn-dtype", default=None, choices=["float32", "compute"],
+                    help="override cfg.bn_compute_dtype (byte-diet ablation; "
+                    "see benchmarks/bench_step_diet.py)")
+    ap.add_argument("--remat", default=None, choices=["none", "blocks"],
+                    help="override cfg.remat (byte-diet ablation)")
     ap.add_argument("--stream", action="store_true",
                     help="feed a FRESH host batch every step through the "
                     "prefetch queue (measures the full input pipeline, not "
@@ -91,6 +96,10 @@ def main():
 
     if args.uint8:
         cfg = cfg.replace(transfer_uint8=True)
+    if args.bn_dtype:
+        cfg = cfg.replace(bn_compute_dtype=args.bn_dtype)
+    if args.remat:
+        cfg = cfg.replace(remat=args.remat)
     mesh = make_mesh(cfg)
     # default/--stream/--device-store: enough distinct samples that every
     # step's batch is fresh (--per-step reuses one resident batch)

@@ -212,6 +212,11 @@ class MopoeConfig:
     # saved-activation reads for recompute writes; measured by
     # benchmarks/bench_step_diet.py before changing any default.
     remat: str = "none"  # "none" | "blocks"
+    # render eval-round sample grids on the experiment's host worker
+    # thread instead of blocking the eval round (evaluation/runner.py);
+    # rendering overlaps the next scanned epoch and is drained at end of
+    # run. False = synchronous (deterministic timing for profiling).
+    async_plots: bool = True
     data_axis: str = "data"  # mesh axis the batch is sharded over
     mesh_shape: Tuple[int, ...] = ()  # () → all local devices on data axis
     # donate train state buffers to the step. Default off: buffer donation

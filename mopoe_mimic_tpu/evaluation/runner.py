@@ -92,13 +92,29 @@ def run_eval_suite(
             log.warning(f"PRD/FID skipped: {e}")
 
     try:
-        from mopoe_mimic_tpu.utils.plotting import generate_plots
+        from mopoe_mimic_tpu.utils.plotting import (
+            collect_plot_arrays, render_plot_arrays,
+        )
 
         t0 = time.perf_counter()
-        plots = generate_plots(exp, state, epoch)
-        timings["plots_s"] = time.perf_counter() - t0
-        for tag, img in plots.items():
-            exp.tb_logger.write_image(tag, img, epoch)
+        plot_data = collect_plot_arrays(exp, state, epoch)
+        timings["plots_collect_s"] = time.perf_counter() - t0
+
+        def _render(data=plot_data, ep=epoch):
+            for tag, img in render_plot_arrays(exp, data, ep).items():
+                exp.tb_logger.write_image(tag, img, ep)
+
+        if cfg.async_plots:
+            # rendering is pure host work (PIL/matplotlib, ~20 s/round on
+            # this 1-core box — the dominant recurring eval cost after the
+            # round-3 device-side fixes, RESULTS_r3). Hand it to the
+            # experiment's worker so it overlaps the next scanned train
+            # epoch instead of blocking the round; drained at end of run.
+            exp.submit_host_job(_render, name=f"plot render (epoch {epoch})")
+        else:
+            t0 = time.perf_counter()
+            _render()
+            timings["plots_render_s"] = time.perf_counter() - t0
     except Exception as e:
         log.warning(f"plot generation FAILED: {e!r}", exc_info=True)
 

@@ -149,6 +149,46 @@ class Experiment:
             cache[key] = builder()
         return cache[key]
 
+    def submit_host_job(self, fn, name: str = "") -> None:
+        """Run ``fn`` on the experiment's single host worker thread.
+
+        Used by the eval suite to move pure-host work (plot rendering:
+        PIL/matplotlib, ~20 s on this 1-core box) off the epoch path —
+        it overlaps the next scanned train epoch, during which the host
+        only waits on the one-dispatch-per-epoch RPC. One worker ⇒ jobs
+        stay serialized in submission order. Exceptions are logged, not
+        raised (plot failures were already warn-only, runner.py)."""
+        import concurrent.futures
+
+        ex = self.__dict__.get("_host_worker")
+        if ex is None:
+            ex = self._host_worker = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="host-jobs"
+            )
+            self._host_jobs = []
+
+        def run():
+            t0 = time.perf_counter()
+            try:
+                fn()
+                log.info(
+                    f"host job '{name or fn!r}' finished in "
+                    f"{time.perf_counter() - t0:.1f}s (off the epoch path)"
+                )
+            except Exception as e:  # noqa: BLE001 — worker must not die
+                log.warning(f"host job '{name}' FAILED: {e!r}", exc_info=True)
+
+        self._host_jobs.append(ex.submit(run))
+
+    def drain_host_jobs(self) -> None:
+        """Block until every submitted host job has finished. Called at
+        end of run (train/loop.py) so PNGs/TB images are durable before
+        run_epochs returns — including on the NaN-restart path, where
+        main.py wipes the run dir right after."""
+        for f in self.__dict__.get("_host_jobs") or []:
+            f.result()
+        self._host_jobs = []
+
     def eval_batches(self, split: str = "test", epoch: int = 0):
         """(batch, labels) iterator for the eval suite — device-resident
         when enabled, else a fresh seeded loader with the same order

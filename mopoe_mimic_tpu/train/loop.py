@@ -116,108 +116,115 @@ def run_epochs(
         if eval_results and exp.experiments_df is not None:
             exp.experiments_df.update(eval_results)
 
-    for epoch in range(start_epoch, cfg.end_epoch):
-        t0 = time.time()
-        # ---- train pass ------------------------------------------------
-        train_loader.set_epoch(epoch)
-        t_phase = time.time()
-        idx_mat = (
-            epoch_index_matrix(store_train, epoch, cfg.batch_size,
-                               seed=cfg.seed or 0,
-                               weighted=cfg.weighted_sampler,
-                               steps_cap=steps_cap)
-            if scan else None
-        )
-        if idx_mat is not None and len(idx_mat):
-            # whole epoch in one dispatch; one host read for the metrics
-            state, avg_dev = train_epoch_fn(state, store_train.cols, idx_mat)
-            train_avg = fetch_scalar_tree(avg_dev)
-        else:
-            acc = MetricAccumulator()
-            if store_train is not None:
-                train_iter = _at_most(
-                    store_train.iter_epoch(epoch, cfg.batch_size,
-                                           seed=cfg.seed or 0,
-                                           weighted=cfg.weighted_sampler),
-                    steps_cap,
-                )
-            else:
-                train_iter = prefetch_to_device(
-                    _at_most(iter(train_loader), steps_cap), mesh,
-                    size=max(1, cfg.dataloader_workers),
-                    quantize=cfg.transfer_uint8,
-                )
-            for batch, _labels in train_iter:
-                state, metrics = train_step(state, batch)
-                acc.update(metrics)
-            train_avg = acc.averages()
-        _check_nans(cfg, train_avg)
-        exp.tb_logger.write_epoch("train", epoch, _loggable(train_avg))
-        t_train = time.time() - t_phase
-        t_phase = time.time()
-
-        # ---- test pass ---------------------------------------------------
-        test_loader.set_epoch(epoch)
-        test_idx = (
-            epoch_index_matrix(store_test, epoch, cfg.batch_size,
-                               seed=(cfg.seed or 0) + 1,
-                               steps_cap=steps_cap)
-            if scan and store_test is not None and eval_epoch_fn is not None
-            else None
-        )
-        if test_idx is not None and len(test_idx):
-            eval_rng, avg_dev = eval_epoch_fn(
-                state, eval_rng, store_test.cols, test_idx
+    # the finally drains async plot renders even when an epoch raises
+    # (NaNInLatent): main.py wipes the run dir on restart, and a late
+    # render must not write into (or race) the deleted tree
+    try:
+        for epoch in range(start_epoch, cfg.end_epoch):
+            t0 = time.time()
+            # ---- train pass ------------------------------------------------
+            train_loader.set_epoch(epoch)
+            t_phase = time.time()
+            idx_mat = (
+                epoch_index_matrix(store_train, epoch, cfg.batch_size,
+                                   seed=cfg.seed or 0,
+                                   weighted=cfg.weighted_sampler,
+                                   steps_cap=steps_cap)
+                if scan else None
             )
-            test_avg = fetch_scalar_tree(avg_dev)
-        else:
-            acc = MetricAccumulator()
-            if store_test is not None:
-                test_iter = _at_most(
-                    store_test.iter_epoch(epoch, cfg.batch_size,
-                                          seed=(cfg.seed or 0) + 1),
-                    steps_cap,
-                )
+            if idx_mat is not None and len(idx_mat):
+                # whole epoch in one dispatch; one host read for the metrics
+                state, avg_dev = train_epoch_fn(state, store_train.cols, idx_mat)
+                train_avg = fetch_scalar_tree(avg_dev)
             else:
-                test_iter = prefetch_to_device(
-                    _at_most(iter(test_loader), steps_cap), mesh,
-                    size=max(1, cfg.dataloader_workers),
-                    quantize=cfg.transfer_uint8,
-                )
-            for batch, _labels in test_iter:
-                eval_rng, r = jax.random.split(eval_rng)
-                acc.update(eval_step(state, batch, r))
-            test_avg = acc.averages()
-        _check_nans(cfg, test_avg)
-        exp.tb_logger.write_epoch("test", epoch, _loggable(test_avg))
-        last_test = test_avg
-        t_test = time.time() - t_phase
+                acc = MetricAccumulator()
+                if store_train is not None:
+                    train_iter = _at_most(
+                        store_train.iter_epoch(epoch, cfg.batch_size,
+                                               seed=cfg.seed or 0,
+                                               weighted=cfg.weighted_sampler),
+                        steps_cap,
+                    )
+                else:
+                    train_iter = prefetch_to_device(
+                        _at_most(iter(train_loader), steps_cap), mesh,
+                        size=max(1, cfg.dataloader_workers),
+                        quantize=cfg.transfer_uint8,
+                    )
+                for batch, _labels in train_iter:
+                    state, metrics = train_step(state, batch)
+                    acc.update(metrics)
+                train_avg = acc.averages()
+            _check_nans(cfg, train_avg)
+            exp.tb_logger.write_epoch("train", epoch, _loggable(train_avg))
+            t_train = time.time() - t_phase
+            t_phase = time.time()
 
-        # ---- heavy evals every eval_freq epochs --------------------------
-        evals_ran = (epoch + 1) % cfg.eval_freq == 0 or epoch == cfg.end_epoch - 1
-        if evals_ran:
-            run_heavy_evals(epoch)
-
-        # ---- callbacks ---------------------------------------------------
-        elapsed = time.time() - t0
-        epoch_times.append(elapsed)
-        test_loss = float(test_avg["total_loss"])
-        log.info(
-            f"epoch {epoch}: train_loss={float(train_avg['total_loss']):.4f} "
-            f"test_loss={test_loss:.4f} ({elapsed:.1f}s: "
-            f"train={t_train:.1f} test={t_test:.1f})"
-        )
-        if exp.experiments_df is not None:
-            exp.experiments_df.update(
-                {"total_epochs": epoch, "mean_epoch_time": float(np.mean(epoch_times))}
+            # ---- test pass ---------------------------------------------------
+            test_loader.set_epoch(epoch)
+            test_idx = (
+                epoch_index_matrix(store_test, epoch, cfg.batch_size,
+                                   seed=(cfg.seed or 0) + 1,
+                                   steps_cap=steps_cap)
+                if scan and store_test is not None and eval_epoch_fn is not None
+                else None
             )
-        stop, state = callbacks.update_epoch(epoch, test_loss, state, elapsed)
-        if stop:
-            # an early-stopped run must not ship metrics that are
-            # eval_freq-stale (VERDICT r2 weak #2)
-            if not evals_ran:
+            if test_idx is not None and len(test_idx):
+                eval_rng, avg_dev = eval_epoch_fn(
+                    state, eval_rng, store_test.cols, test_idx
+                )
+                test_avg = fetch_scalar_tree(avg_dev)
+            else:
+                acc = MetricAccumulator()
+                if store_test is not None:
+                    test_iter = _at_most(
+                        store_test.iter_epoch(epoch, cfg.batch_size,
+                                              seed=(cfg.seed or 0) + 1),
+                        steps_cap,
+                    )
+                else:
+                    test_iter = prefetch_to_device(
+                        _at_most(iter(test_loader), steps_cap), mesh,
+                        size=max(1, cfg.dataloader_workers),
+                        quantize=cfg.transfer_uint8,
+                    )
+                for batch, _labels in test_iter:
+                    eval_rng, r = jax.random.split(eval_rng)
+                    acc.update(eval_step(state, batch, r))
+                test_avg = acc.averages()
+            _check_nans(cfg, test_avg)
+            exp.tb_logger.write_epoch("test", epoch, _loggable(test_avg))
+            last_test = test_avg
+            t_test = time.time() - t_phase
+
+            # ---- heavy evals every eval_freq epochs --------------------------
+            evals_ran = (epoch + 1) % cfg.eval_freq == 0 or epoch == cfg.end_epoch - 1
+            if evals_ran:
                 run_heavy_evals(epoch)
-            break
+
+            # ---- callbacks ---------------------------------------------------
+            elapsed = time.time() - t0
+            epoch_times.append(elapsed)
+            test_loss = float(test_avg["total_loss"])
+            log.info(
+                f"epoch {epoch}: train_loss={float(train_avg['total_loss']):.4f} "
+                f"test_loss={test_loss:.4f} ({elapsed:.1f}s: "
+                f"train={t_train:.1f} test={t_test:.1f})"
+            )
+            if exp.experiments_df is not None:
+                exp.experiments_df.update(
+                    {"total_epochs": epoch, "mean_epoch_time": float(np.mean(epoch_times))}
+                )
+            stop, state = callbacks.update_epoch(epoch, test_loss, state, elapsed)
+            if stop:
+                # an early-stopped run must not ship metrics that are
+                # eval_freq-stale (VERDICT r2 weak #2)
+                if not evals_ran:
+                    run_heavy_evals(epoch)
+                break
+
+    finally:
+        exp.drain_host_jobs()
 
     # durable-on-return: flush the staged best and drain the async
     # checkpoint writer so callers (and tests cleaning up run dirs) see

@@ -10,7 +10,7 @@ optionally written to the run's plots/ tree when save_figure is set.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -74,13 +74,16 @@ def _to_rgb(frames: np.ndarray) -> np.ndarray:
     return np.repeat(frames[..., :1], 3, axis=-1)
 
 
-def generate_plots(exp, state, epoch: int, num_samples: int = 0) -> Dict[str, np.ndarray]:
-    """Random, conditional-generation, and (factorized) style-swap grids
-    (generate_plots, mimic/utils/plotting.py:10-182); saved to disk when
-    cfg.save_figure under plots/{random_samples,cond_gen,swapping}."""
+def collect_plot_arrays(exp, state, epoch: int) -> Dict[str, Any]:
+    """DEVICE phase of plot generation: run the cached jitted generate /
+    cond-generate / style-swap programs and download the raw sample
+    arrays. Everything PIL/matplotlib lives in ``render_plot_arrays`` so
+    the eval round can hand rendering to the experiment's host worker and
+    overlap it with the next scanned train epoch (the 1-core host idles
+    inside the one-dispatch-per-epoch RPC; RESULTS_r3: rendering was the
+    dominant 19.8 s of the 32 s recurring round)."""
     cfg = exp.cfg
     model = exp.model
-    n = num_samples or min(cfg.batch_size, 8)
 
     def build_programs():
         @jax.jit
@@ -106,13 +109,54 @@ def generate_plots(exp, state, epoch: int, num_samples: int = 0) -> Dict[str, np
 
     rng = jax.random.PRNGKey((cfg.seed or 0) + 71)
     rng, r1, r2 = jax.random.split(rng, 3)
-    gen = jax.device_get(rand_gen(state.params, state.batch_stats, r1))
+    data: Dict[str, Any] = {
+        "gen": jax.device_get(rand_gen(state.params, state.batch_stats, r1))
+    }
+
+    try:
+        # eval_batches reuses the device-resident store when enabled — a
+        # fresh make_loaders() here would re-upload a full batch through
+        # the host→device link every eval round (VERDICT r2 weak #4)
+        test_batch, _ = next(iter(exp.eval_batches("test")))
+        data["cond"] = jax.device_get(
+            cond_gen(state.params, state.batch_stats, test_batch, r2)
+        )
+    except Exception as e:
+        log.debug(f"cond-gen plots skipped: {e}")
+
+    # style swapping (factorized representation only, plotting.py swap grids)
+    if cfg.factorized_representation and "cond" in data:
+        try:
+            k = 4
+
+            def build_swap():
+                return jax.jit(_make_swap(cfg, model, k))
+
+            swap = exp.cached_jit("swap_program", build_swap)
+            data["swapped"] = jax.device_get(
+                swap(state.params, state.batch_stats, test_batch, rng)
+            )
+            data["swap_k"] = k
+        except Exception as e:
+            log.debug(f"swap plots skipped: {e}")
+    return data
+
+
+def render_plot_arrays(
+    exp, data: Dict[str, Any], epoch: int, num_samples: int = 0
+) -> Dict[str, np.ndarray]:
+    """HOST phase: turn downloaded sample arrays into grids (PIL text
+    rendering, numpy tiling, optional matplotlib PNG save). Pure host
+    work — safe to run on the experiment's worker thread while the next
+    epoch's device program is in flight."""
+    cfg = exp.cfg
+    n = num_samples or min(cfg.batch_size, 8)
 
     plots: Dict[str, np.ndarray] = {}
     for m in cfg.modality_names:
         try:
             plots[f"random/{m}"] = _to_grid(
-                _modality_frames(cfg, exp, m, gen[m], n if m != "text" else 4),
+                _modality_frames(cfg, exp, m, data["gen"][m], n if m != "text" else 4),
                 per_row=2 if m == "text" else 8,
             )
         except Exception as e:
@@ -120,15 +164,8 @@ def generate_plots(exp, state, epoch: int, num_samples: int = 0) -> Dict[str, np
 
     # conditional generation grids: per input subset, inputs row + each
     # generated modality row (plotting.py cond-gen grids per subset size)
-    try:
-        # eval_batches reuses the device-resident store when enabled — a
-        # fresh make_loaders() here would re-upload a full batch through
-        # the host→device link every eval round (VERDICT r2 weak #4)
-        test_batch, _ = next(iter(exp.eval_batches("test")))
-        cond = jax.device_get(
-            cond_gen(state.params, state.batch_stats, test_batch, r2)
-        )
-        for s_key, per_mod in cond.items():
+    for s_key, per_mod in (data.get("cond") or {}).items():
+        try:
             # one row per generated modality, text rendered at image size
             # and grayscale lifted to RGB so all rows share one frame shape
             # (reference renders text via PIL into the same grid,
@@ -141,36 +178,29 @@ def generate_plots(exp, state, epoch: int, num_samples: int = 0) -> Dict[str, np
                 for m in cfg.modality_names
             ]
             plots[f"cond_gen/{s_key}"] = _to_grid(np.concatenate(rows), per_row=4)
-    except Exception as e:
-        log.debug(f"cond-gen plots skipped: {e}")
-
-    # style swapping (factorized representation only, plotting.py swap grids)
-    if cfg.factorized_representation:
-        try:
-            plots.update(_swap_grids(exp, state, test_batch, rng))
         except Exception as e:
-            log.debug(f"swap plots skipped: {e}")
+            log.debug(f"cond-gen plot for {s_key} skipped: {e}")
+
+    if data.get("swapped"):
+        k = data.get("swap_k", 4)
+        for m, v in data["swapped"].items():
+            plots[f"swapping/{m}"] = _to_grid(
+                np.asarray(v).reshape((-1,) + v.shape[2:]), per_row=k
+            )
 
     _save_figures(exp, plots, epoch)
     return plots
 
 
-def _swap_grids(exp, state, batch, rng) -> Dict[str, np.ndarray]:
-    """Style-swap grid per image modality: content latent of sample i ×
-    style latent of sample j (factorized mode, plotting.py swap grids)."""
-    cfg = exp.cfg
-    model = exp.model
-    k = 4
-
-    def build_swap():
-        return jax.jit(_make_swap(cfg, model, k))
-
-    swap = exp.cached_jit("swap_program", build_swap)
-    swapped = jax.device_get(swap(state.params, state.batch_stats, batch, rng))
-    return {
-        f"swapping/{m}": _to_grid(np.asarray(v).reshape((-1,) + v.shape[2:]), per_row=k)
-        for m, v in swapped.items()
-    }
+def generate_plots(exp, state, epoch: int, num_samples: int = 0) -> Dict[str, np.ndarray]:
+    """Random, conditional-generation, and (factorized) style-swap grids
+    (generate_plots, mimic/utils/plotting.py:10-182); saved to disk when
+    cfg.save_figure under plots/{random_samples,cond_gen,swapping}.
+    Synchronous collect+render; the eval round uses the split phases
+    directly to move rendering off the epoch path (runner.py)."""
+    return render_plot_arrays(
+        exp, collect_plot_arrays(exp, state, epoch), epoch, num_samples
+    )
 
 
 def _make_swap(cfg, model, k):
@@ -210,9 +240,14 @@ def _save_figures(exp, plots: Dict[str, np.ndarray], epoch: int) -> None:
             matplotlib.use("Agg")
             import matplotlib.pyplot as plt
 
+            # route each grid to its reference-parity subdir
+            # (plots/{random_samples,cond_gen,swapping}, filehandling.py)
+            dirs = {"random": "plot_random", "cond_gen": "plot_cond",
+                    "swapping": "plot_swap"}
             for tag, img in plots.items():
+                key = dirs.get(tag.split("/", 1)[0], "plot_random")
                 path = os.path.join(
-                    exp.paths["plot_random"], f"{tag.replace('/', '_')}_{epoch}.png"
+                    exp.paths[key], f"{tag.replace('/', '_')}_{epoch}.png"
                 )
                 plt.imsave(path, img.squeeze(-1) if img.shape[-1] == 1 else img,
                            cmap="gray" if img.shape[-1] == 1 else None)
