@@ -143,14 +143,97 @@ def _pack_ngrams(a, n: int):
     return packed
 
 
-def corpus_bleu_ids(references, hypotheses) -> Dict[str, float]:
+def build_ref_tables(references) -> Dict:
+    """Precompute the reference-side n-gram count tables for
+    ``corpus_bleu_ids`` / ``nbr_common_words_ids``. The references are the
+    fixed test corpus — identical across the 7 conditioning subsets of one
+    eval round AND across eval rounds — so the ref-side sorts (the majority
+    of the BLEU corpus-scan cost) are paid once per run instead of
+    7×rounds times. Returns an opaque dict keyed by n-gram order with
+    (gram vocabulary, sorted (row,gram) keys, counts) triples."""
+    import numpy as np
+
+    refs = np.asarray(references)
+    if refs.size and int(refs.max()) >= 1 << 15:
+        raise ValueError("ids must be < 2**15 for packed n-gram counting")
+    n_rows, l_ref = refs.shape
+    tables: Dict = {"shape": (n_rows, l_ref)}
+    for n in range(1, 5):
+        if l_ref < n:
+            tables[n] = None
+            continue
+        r = _pack_ngrams(refs, n)
+        vocab = np.unique(r.ravel())
+        gid = np.searchsorted(vocab, r)  # every ref gram is in vocab
+        rows = np.repeat(np.arange(n_rows, dtype=np.int64), r.shape[1])
+        keys = rows * np.int64(len(vocab)) + gid.ravel()
+        ur, cr = np.unique(keys, return_counts=True)
+        tables[n] = (vocab, ur, cr)
+    # distinct (row, token) keys for nbr_common_words (shift = 2**15: the
+    # id bound validated above and for every hypothesis set)
+    rows = np.repeat(np.arange(n_rows, dtype=np.int64), l_ref)
+    tables["words"] = np.unique((rows << 15) | refs.ravel().astype(np.int64))
+    return tables
+
+
+def _clipped_matches_vs_tables(h, table) -> int:
+    """Σ_rows Σ_grams min(count_hyp, count_ref) against a precomputed ref
+    table: hyp grams map into the ref gram vocabulary by binary search
+    (grams absent from every reference can never match and are dropped),
+    then one unique + one sorted intersection. Exact integer counting."""
+    import numpy as np
+
+    vocab, ur, cr = table
+    n_rows = h.shape[0]
+    gid = np.searchsorted(vocab, h)
+    np.clip(gid, 0, max(len(vocab) - 1, 0), out=gid)
+    valid = (vocab[gid] == h) if len(vocab) else np.zeros_like(h, bool)
+    rows = np.repeat(np.arange(n_rows, dtype=np.int64), h.shape[1])
+    keys = (rows * np.int64(len(vocab)) + gid.ravel())[valid.ravel()]
+    if not keys.size:
+        return 0
+    uh, ch = np.unique(keys, return_counts=True)
+    _, hi, ri = np.intersect1d(uh, ur, assume_unique=True, return_indices=True)
+    if not hi.size:
+        return 0
+    return int(np.minimum(ch[hi], cr[ri]).sum())
+
+
+def _rowwise_clipped_matches(h, r) -> int:
+    """Σ_rows Σ_grams min(count_hyp, count_ref) with NO per-row Python loop:
+    compact the gram values globally (one np.unique), key each occurrence by
+    ``row * n_distinct + gram_id`` (fits int64), reduce each side to unique
+    (key, count) pairs, and intersect the two sorted key sets once. Exact
+    integer counting — identical to per-row Counter clipping."""
+    import numpy as np
+
+    n_rows, width = h.shape
+    uniq, inv = np.unique(np.concatenate([h.ravel(), r.ravel()]),
+                          return_inverse=True)
+    g = np.int64(len(uniq))
+    rows_h = np.repeat(np.arange(n_rows, dtype=np.int64), width)
+    rows_r = np.repeat(np.arange(n_rows, dtype=np.int64), r.shape[1])
+    hk = rows_h * g + inv[: h.size]
+    rk = rows_r * g + inv[h.size:]
+    uh, ch = np.unique(hk, return_counts=True)
+    ur, cr = np.unique(rk, return_counts=True)
+    _, hi, ri = np.intersect1d(uh, ur, assume_unique=True, return_indices=True)
+    if not hi.size:
+        return 0
+    return int(np.minimum(ch[hi], cr[ri]).sum())
+
+
+def corpus_bleu_ids(references, hypotheses, ref_tables: Dict = None) -> Dict[str, float]:
     """corpus_bleu computed directly on token-ID arrays ([N, L] ints) —
     bit-identical scores to decoding through the vocab table first
     (id → token is a bijection for in-vocab ids, and argmax over
     vocab-sized logits cannot produce out-of-vocab ids). n-gram counting
-    runs as per-row np.unique / intersect1d over packed int64 n-grams
-    instead of Python tuple Counters — the BLEU corpus scan was a dominant
-    host cost of eval rounds at [2048, 128] scale (VERDICT r2 #3)."""
+    runs fully vectorized over packed int64 n-grams instead of Python
+    tuple Counters — the BLEU corpus scan was a dominant host cost of
+    eval rounds at [2048, 128] scale (VERDICT r2 #3). Pass
+    ``ref_tables=build_ref_tables(references)`` to amortize the ref-side
+    sorts across hypothesis sets (subsets × eval rounds); scores are
+    identical either way."""
     import numpy as np
 
     refs = np.asarray(references)
@@ -158,6 +241,8 @@ def corpus_bleu_ids(references, hypotheses) -> Dict[str, float]:
     assert refs.shape[0] == hyps.shape[0]
     if refs.size and max(int(refs.max()), int(hyps.max(initial=0))) >= 1 << 15:
         raise ValueError("ids must be < 2**15 for packed n-gram counting")
+    if ref_tables is not None:
+        assert ref_tables["shape"] == refs.shape, "ref_tables built for a different corpus"
     n_rows, l_ref = refs.shape
     l_hyp = hyps.shape[1]
     nums = [0] * 4
@@ -167,33 +252,38 @@ def corpus_bleu_ids(references, hypotheses) -> Dict[str, float]:
             dens[n - 1] += n_rows  # nltk: max(1, 0) per hypothesis
             continue
         h = _pack_ngrams(hyps, n)
-        r = _pack_ngrams(refs, n) if l_ref >= n else None
         dens[n - 1] += h.shape[1] * n_rows
-        if r is None:
-            continue
-        for i in range(n_rows):
-            hv, hc = np.unique(h[i], return_counts=True)
-            rv, rc = np.unique(r[i], return_counts=True)
-            _, hi, ri = np.intersect1d(
-                hv, rv, assume_unique=True, return_indices=True
-            )
-            if hi.size:
-                nums[n - 1] += int(np.minimum(hc[hi], rc[ri]).sum())
+        if l_ref >= n:
+            if ref_tables is not None:
+                nums[n - 1] += _clipped_matches_vs_tables(h, ref_tables[n])
+            else:
+                nums[n - 1] += _rowwise_clipped_matches(h, _pack_ngrams(refs, n))
     return _scores_from_counts(nums, dens, n_rows * l_hyp, n_rows * l_ref)
 
 
-def nbr_common_words_ids(references, hypotheses) -> float:
+def nbr_common_words_ids(references, hypotheses, ref_tables: Dict = None) -> float:
     """Mean per-row count of distinct shared ids — equals the token-set
-    overlap after decoding (bijection)."""
+    overlap after decoding (bijection). Vectorized: distinct (row, id)
+    pairs per side via one np.unique each, one sorted intersection."""
     import numpy as np
 
-    refs = np.asarray(references)
-    hyps = np.asarray(hypotheses)
+    refs = np.asarray(references, dtype=np.int64)
+    hyps = np.asarray(hypotheses, dtype=np.int64)
     if not len(refs):
         return float("nan")
-    total = 0
-    for i in range(len(refs)):
-        total += np.intersect1d(refs[i], hyps[i]).size
+    rows_h = np.repeat(np.arange(len(hyps), dtype=np.int64), hyps.shape[1])
+    if ref_tables is not None:
+        assert ref_tables["shape"] == refs.shape
+        if int(hyps.max(initial=0)) >= 1 << 15:
+            raise ValueError("ids must be < 2**15 for the ref-table path")
+        ur = ref_tables["words"]
+        uh = np.unique((rows_h << 15) | hyps.ravel())
+    else:
+        shift = np.int64(max(int(refs.max()), int(hyps.max(initial=0))) + 1)
+        rows_r = np.repeat(np.arange(len(refs), dtype=np.int64), refs.shape[1])
+        ur = np.unique(rows_r * shift + refs.ravel())
+        uh = np.unique(rows_h * shift + hyps.ravel())
+    total = np.intersect1d(ur, uh, assume_unique=True).size
     return float(total / len(refs))
 
 

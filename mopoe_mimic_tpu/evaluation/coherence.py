@@ -308,17 +308,27 @@ def _text_bleu_per_subset(
     reference text is decoded ONCE and shared across subsets."""
     from mopoe_mimic_tpu.data.text_codec import tensor_to_tokens
     from mopoe_mimic_tpu.evaluation.bleu import (
-        corpus_bleu_ids, nbr_common_words, nbr_common_words_ids,
+        build_ref_tables, corpus_bleu_ids, nbr_common_words,
+        nbr_common_words_ids,
     )
 
     out: Dict[str, Dict[str, float]] = {}
     if cfg.text_encoding == "word":
         # ids ARE the tokens (bijection through the vocab) — score the id
-        # arrays directly, no decode at all (corpus_bleu_ids docstring)
+        # arrays directly, no decode at all (corpus_bleu_ids docstring).
+        # The reference corpus is the fixed test set: its n-gram tables
+        # are built once per run (cached on the experiment) and shared by
+        # every conditioning subset and eval round.
+        key = ("bleu_ref_tables", ref_ids.shape,
+               hash(ref_ids.tobytes()) if exp is not None else 0)
+        build = lambda: build_ref_tables(ref_ids)  # noqa: E731
+        tables = exp.cached_jit(key, build) if exp is not None else build()
         for s_key, parts in gen_ids.items():
             hyp_ids = np.concatenate(parts)
-            scores = corpus_bleu_ids(ref_ids, hyp_ids)
-            scores["nbr_common_words"] = nbr_common_words_ids(ref_ids, hyp_ids)
+            scores = corpus_bleu_ids(ref_ids, hyp_ids, ref_tables=tables)
+            scores["nbr_common_words"] = nbr_common_words_ids(
+                ref_ids, hyp_ids, ref_tables=tables
+            )
             out[s_key] = scores
         return out
     # char mode: decoded strings re-tokenize into words (PARITY.md

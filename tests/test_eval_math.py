@@ -179,3 +179,32 @@ def test_corpus_bleu_ids_matches_token_path_and_nltk():
     golden = _nltk_quintuple(refs_tok, hyps_tok)
     for k, v in golden.items():
         assert abs(ours[k] - v) < 1e-12
+
+
+def test_corpus_bleu_ids_ref_tables_identical():
+    """The precomputed-ref-table path (amortizes ref-side sorts across
+    subsets/eval rounds) is bit-identical to the table-free path, including
+    short hypotheses, zero-match corpora, and out-of-vocab hypothesis ids."""
+    from mopoe_mimic_tpu.evaluation.bleu import (
+        build_ref_tables, corpus_bleu_ids, nbr_common_words_ids,
+    )
+
+    rng = np.random.default_rng(7)
+    cases = []
+    refs = rng.integers(0, 300, size=(24, 64))
+    hyps = refs.copy()
+    mask = rng.random(refs.shape) < 0.5
+    # ids the references never use → unmatched hyp grams must drop cleanly
+    hyps[mask] = rng.integers(300, 500, size=int(mask.sum()))
+    cases.append((refs, hyps))
+    cases.append((refs, rng.integers(600, 900, size=(24, 64))))  # 0 matches
+    cases.append((rng.integers(0, 50, size=(4, 8)),
+                  rng.integers(0, 50, size=(4, 3))))  # hyp shorter than n=4
+    for refs, hyps in cases:
+        tables = build_ref_tables(refs)
+        plain = corpus_bleu_ids(refs, hyps)
+        via_tables = corpus_bleu_ids(refs, hyps, ref_tables=tables)
+        assert plain == via_tables, (plain, via_tables)
+        assert nbr_common_words_ids(refs, hyps) == nbr_common_words_ids(
+            refs, hyps, ref_tables=tables
+        )
