@@ -79,6 +79,12 @@ class MopoeConfig:
     DIM_text: int = 128
     factorized_representation: bool = False
     feature_extractor_img: str = "resnet"  # resnet | densenet
+    # freeze the DenseNet trunk (stop_gradient on its features): only the
+    # projection/classifier head trains. Reference flags.py:31 defaults
+    # True because its trunk is ImageNet-pretrained (CheXNet.py:20-25,
+    # 36-44); here trunks train from scratch unless torch-converted
+    # weights are loaded (models/torch_import.py), so the default is off.
+    fixed_image_extractor: bool = False
 
     # ----- likelihoods (flags.py:64-66) ------------------------------------
     likelihood_m1: str = "laplace"

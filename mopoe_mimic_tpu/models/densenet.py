@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 GROWTH = 32
@@ -94,6 +95,7 @@ class CheXNet(nn.Module):
 
     n_labels: int
     n_crops: int = 1
+    fixed_extractor: bool = False  # cfg.fixed_image_extractor
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -101,6 +103,11 @@ class CheXNet(nn.Module):
         if x.shape[-1] == 1:
             x = jnp.repeat(x, 3, axis=-1)  # grayscale → RGB stem
         feats = DenseNet121(self.dtype, name="features")(x, train=train)
+        if self.fixed_extractor:
+            # torch parity: requires_grad=False on the trunk
+            # (CheXNet.py:23-25) — BN running stats still update in train
+            # mode, exactly like torch; only gradients stop here.
+            feats = jax.lax.stop_gradient(feats)
         logits = nn.Dense(self.n_labels, dtype=self.dtype, name="classifier")(feats)
         probs = nn.sigmoid(logits)
         if self.n_crops > 1:
@@ -115,6 +122,7 @@ class DenseNetFeatureExtractor(nn.Module):
 
     out_features: int
     n_crops: int = 1
+    fixed_extractor: bool = False  # cfg.fixed_image_extractor
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -122,6 +130,11 @@ class DenseNetFeatureExtractor(nn.Module):
         if x.shape[-1] == 1:
             x = jnp.repeat(x, 3, axis=-1)
         feats = DenseNet121(self.dtype, name="features")(x, train=train)
+        if self.fixed_extractor:
+            # --fixed_image_extractor (flags.py:31, PretrainedDenseNet
+            # CheXNet.py:36-44): trunk params get zero gradient, the
+            # projection head (and the VAE around it) still trains.
+            feats = jax.lax.stop_gradient(feats)
         if self.n_crops > 1:
             feats = feats.reshape(-1, self.n_crops, feats.shape[-1]).mean(axis=1)
         return nn.Dense(self.out_features, dtype=self.dtype, name="proj")(feats)

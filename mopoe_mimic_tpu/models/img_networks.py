@@ -115,6 +115,7 @@ class EncoderImg(nn.Module):
     style_dim: int = 0
     img_size: int = 128
     feature_extractor: str = "resnet"
+    fixed_extractor: bool = False  # cfg.fixed_image_extractor (densenet only)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     bn_eps: float = 1e-5
@@ -127,7 +128,8 @@ class EncoderImg(nn.Module):
             from mopoe_mimic_tpu.models.densenet import DenseNetFeatureExtractor
 
             h = DenseNetFeatureExtractor(
-                5 * self.dim, dtype=self.dtype, name="feature_extractor"
+                5 * self.dim, fixed_extractor=self.fixed_extractor,
+                dtype=self.dtype, name="feature_extractor"
             )(x, train=train)
         elif self.feature_extractor == "resnet":
             h = FeatureExtractorImg(

@@ -106,6 +106,7 @@ class MMVae(nn.Module):
                     style_dim=style[m],
                     img_size=cfg.img_size,
                     feature_extractor=cfg.feature_extractor_img,
+                    fixed_extractor=cfg.fixed_image_extractor,
                     dtype=dtype,
                     param_dtype=pdtype,
                     bn_eps=cfg.bn_eps,

@@ -63,7 +63,8 @@ def make_classifier(cfg: MopoeConfig, modality: str, n_labels: int):
         # classifiers/utils.py:214-238; crop handling CheXNet.py:85-106)
         from mopoe_mimic_tpu.models.densenet import CheXNet
 
-        return CheXNet(n_labels=n_labels, n_crops=cfg.n_crops)
+        return CheXNet(n_labels=n_labels, n_crops=cfg.n_crops,
+                       fixed_extractor=cfg.fixed_image_extractor)
     return ClfImg(
         n_labels=n_labels, img_size=cfg.img_size, image_channels=cfg.image_channels
     )

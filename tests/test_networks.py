@@ -161,3 +161,43 @@ def test_bn_eps_flows_from_config():
 
     mu, _lv = out["group_distr"]
     assert np.isfinite(float(mu.sum()))
+
+
+@pytest.mark.slow
+def test_fixed_image_extractor_freezes_densenet_trunk():
+    """cfg.fixed_image_extractor (reference flags.py:31, CheXNet.py:23-25,
+    36-44): the DenseNet trunk gets exactly-zero gradients while the head
+    still trains — in the CheXNet classifier and the VAE feature-extractor
+    variant alike."""
+    import numpy as np
+
+    from mopoe_mimic_tpu.models.densenet import CheXNet, DenseNetFeatureExtractor
+
+    x = jnp.asarray(np.random.default_rng(0).random((2, 64, 64, 1)), jnp.float32)
+
+    def max_abs(tree):
+        return max(float(jnp.max(jnp.abs(g))) for g in jax.tree.leaves(tree))
+
+    for frozen in (False, True):
+        for model, target in (
+            (CheXNet(n_labels=3, fixed_extractor=frozen),
+             jnp.asarray(np.random.default_rng(1).random((2, 3)), jnp.float32)),
+            (DenseNetFeatureExtractor(8, fixed_extractor=frozen), None),
+        ):
+            variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+            def loss_fn(params):
+                out = model.apply(
+                    {"params": params, "batch_stats": variables["batch_stats"]},
+                    x, train=False,
+                )
+                return jnp.sum((out - target) ** 2 if target is not None else out ** 2)
+
+            grads = jax.grad(loss_fn)(variables["params"])
+            trunk = max_abs(grads["features"])
+            head_key = "classifier" if "classifier" in grads else "proj"
+            assert max_abs(grads[head_key]) > 0.0
+            if frozen:
+                assert trunk == 0.0, f"frozen trunk leaked gradient: {trunk}"
+            else:
+                assert trunk > 0.0
