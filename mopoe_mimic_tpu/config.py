@@ -379,16 +379,23 @@ class MopoeConfig:
         return p
 
     @classmethod
-    def from_cli(cls, argv: Optional[Sequence[str]] = None) -> "MopoeConfig":
-        args = cls.parser().parse_args(argv)
+    def from_namespace(cls, args: argparse.Namespace) -> "MopoeConfig":
+        """Build a config from a parsed namespace — tools that extend
+        ``parser()`` with their own flags (grid_search, clf_trainer CLIs)
+        share the JSON-overlay + override semantics of ``from_cli``."""
+        known = {f.name for f in dataclasses.fields(cls)}
         overrides = {
             k: v
             for k, v in vars(args).items()
-            if v is not None and k != "config_path"
+            if v is not None and k in known
         }
-        if args.config_path:
+        if getattr(args, "config_path", None):
             return cls.from_json(args.config_path, **overrides)
         return cls(**overrides)
+
+    @classmethod
+    def from_cli(cls, argv: Optional[Sequence[str]] = None) -> "MopoeConfig":
+        return cls.from_namespace(cls.parser().parse_args(argv))
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

@@ -247,3 +247,26 @@ def _write_clf_df(cfg: MopoeConfig, modality: str, total_epochs: int,
         })
     except Exception as e:
         log.warning(f"clf results CSV not written: {e}")
+
+
+def main(argv=None) -> None:
+    """Standalone classifier-training CLI (parity:
+    networks/classifiers/main_train_clf_mimic.py:97-132): trains — or
+    loads, when cached — the CheXpert-label classifier for every modality
+    of the configured experiment and stores the checkpoints under
+    ``dir_clf``, where the coherence eval (and any later run with the same
+    dataset fingerprint) picks them up.
+
+        python -m mopoe_mimic_tpu.train.clf_trainer --config_path cfg.json \
+            --img_clf_type densenet --clf_loss dice
+    """
+    from mopoe_mimic_tpu.config import MopoeConfig
+    from mopoe_mimic_tpu.evaluation.clf_loader import load_or_train_classifiers
+    from mopoe_mimic_tpu.experiment import Experiment
+
+    cfg = MopoeConfig.from_cli(argv)
+    load_or_train_classifiers(Experiment(cfg))
+
+
+if __name__ == "__main__":
+    main()

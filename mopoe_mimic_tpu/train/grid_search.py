@@ -49,3 +49,37 @@ def grid_search_clf(
     df.to_csv(path, index=False)
     sort_key = "mean_AP_total" if "mean_AP_total" in df else "dice"
     return df.sort_values(sort_key, ascending=False)
+
+
+def main(argv=None) -> None:
+    """Grid-search CLI (parity: networks/classifiers/grid_search.py:62-83):
+
+        python -m mopoe_mimic_tpu.train.grid_search --dataset testing \
+            --clf_modality PA \
+            --grid '{"initial_learning_rate": [1e-4, 5e-4], "clf_loss": ["bce", "dice"]}'
+
+    Every grid key is a config field; results append to --results_csv
+    (the clf_experiments_dataframe.csv twin) sorted by mean AP."""
+    import json
+
+    from mopoe_mimic_tpu.experiment import Experiment
+
+    p = MopoeConfig.parser()
+    p.add_argument("--clf_modality", default="PA")
+    p.add_argument("--grid", required=True,
+                   help='JSON mapping of config field -> list of values')
+    p.add_argument("--grid_max_epochs", type=int, default=10)
+    p.add_argument("--results_csv", default="clf_experiments_dataframe.csv")
+    args = p.parse_args(argv)
+    cfg = MopoeConfig.from_namespace(args)
+    exp = Experiment(cfg)
+    df = grid_search_clf(
+        cfg, args.clf_modality, exp.dataset_train, exp.dataset_test,
+        n_labels=len(exp.labels), grid=json.loads(args.grid),
+        results_csv=args.results_csv, max_epochs=args.grid_max_epochs,
+    )
+    log.info(f"best grid point:\n{df.head(1).to_string()}")
+
+
+if __name__ == "__main__":
+    main()

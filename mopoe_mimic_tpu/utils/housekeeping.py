@@ -53,3 +53,33 @@ def clean_early_checkpoints(dir_experiment: str, keep_latest: int = 1) -> int:
             shutil.rmtree(ckpt_dir / str(s), ignore_errors=True)
             n += 1
     return n
+
+
+def main(argv=None) -> None:
+    """Housekeeping CLI (parity: clean_experiment_checkpoints.py):
+
+        python -m mopoe_mimic_tpu.utils.housekeeping \
+            --dir_experiment ~/runs [--min_epochs 2] [--keep_latest 1] \
+            [--skip_failed] [--skip_checkpoints]
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dir_experiment", required=True)
+    p.add_argument("--min_epochs", type=int, default=2,
+                   help="runs below this epoch count are deleted")
+    p.add_argument("--keep_latest", type=int, default=1,
+                   help="checkpoints kept per run")
+    p.add_argument("--skip_failed", action="store_true",
+                   help="do not delete failed/short experiment dirs")
+    p.add_argument("--skip_checkpoints", action="store_true",
+                   help="do not prune early checkpoints")
+    args = p.parse_args(argv)
+    if not args.skip_failed:
+        clean_failed_experiments(args.dir_experiment, min_epochs=args.min_epochs)
+    if not args.skip_checkpoints:
+        clean_early_checkpoints(args.dir_experiment, keep_latest=args.keep_latest)
+
+
+if __name__ == "__main__":
+    main()
