@@ -168,3 +168,35 @@ def test_ingest_parallel_workers_match_serial(tmp_path):
         a = np.load(out1 / "files_small_64" / f"{split}_pa.npy")
         b = np.load(out2 / "files_small_64" / f"{split}_pa.npy")
         np.testing.assert_array_equal(a, b)
+
+
+def test_fast_decode_matches_exact_within_one_gray_level(tmp_path):
+    """_resize_one's JPEG draft-mode decode (fast_decode, the default)
+    stays within 1/255 per pixel of the reference's full-resolution
+    decode path on a realistic ~2500x3000 X-ray-shaped JPEG."""
+    import numpy as np
+    from PIL import Image
+
+    from mopoe_mimic_tpu.data.mimic_ingest import _resize_one
+
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:764, 0:636]
+    base = 120 + 80 * np.exp(-((yy - 380) ** 2 + (xx - 300) ** 2) / (2 * 170.0 ** 2))
+    big = np.kron(np.clip(base + rng.normal(0, 8, base.shape), 0, 255), np.ones((4, 4)))
+    src = tmp_path / "big.jpg"
+    Image.fromarray(big.astype(np.uint8), "L").save(src, "JPEG", quality=90)
+
+    fast_dst = tmp_path / "fast.jpg"
+    exact_dst = tmp_path / "exact.jpg"
+    assert _resize_one((str(src), str(fast_dst), 128, True))
+    assert _resize_one((str(src), str(exact_dst), 128, False))
+    a = np.asarray(Image.open(fast_dst), dtype=np.int16)
+    b = np.asarray(Image.open(exact_dst), dtype=np.int16)
+    assert a.shape == b.shape == (128, 128)
+    # raw draft-vs-full delta is <=1 gray level; the cache's jpeg-95
+    # re-encode spreads single-pixel deltas within DCT blocks, so bound
+    # the post-re-encode distribution instead of the per-pixel max
+    d = np.abs(a - b)
+    assert d.mean() < 1.0
+    assert np.percentile(d, 99) <= 2
+    assert d.max() <= 8
