@@ -320,3 +320,47 @@ def test_import_cli_produces_servable_run_dir(ref, tmp_path):
     out = sess.generate(num_samples=2, seed=0)
     assert out["PA"].shape == (2, 64, 64, 1)
     assert np.isfinite(np.asarray(out["PA"])).all()
+
+
+def test_factorized_style_heads_convert(ref):
+    """style_mu/style_logvar compressor heads and style+content
+    feature_generator inputs map by name — factorized checkpoints import."""
+    style = 5
+    flags = _flags()
+    torch.manual_seed(3)
+    fx = ref.fx_img.FeatureExtractorImg(flags)
+    comp = ref.comp.LinearFeatureCompressor(5 * DIM, style, CLASS_DIM)
+    gen_lin = torch.nn.Linear(style + CLASS_DIM, 5 * DIM, bias=True)
+    dg = ref.dg_img.DataGeneratorImg(flags)
+    sd = {}
+    sd.update(_prefixed("encoder_pa.feature_extractor", fx))
+    sd.update(_prefixed("encoder_pa.feature_compressor", comp))
+    sd.update(_prefixed("decoder_pa.feature_generator", gen_lin))
+    sd.update(_prefixed("decoder_pa.img_generator", dg))
+    conv = convert_mopoe_state_dict(sd, _cfg())
+
+    for m in (fx, comp, gen_lin, dg):
+        m.eval()
+    rng = np.random.default_rng(4)
+    x = rng.random((2, 1, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        mu_s_t, logvar_s_t, mu_c_t, logvar_c_t = comp(fx(torch.from_numpy(x)))
+        zs = torch.from_numpy(rng.random((2, style)).astype(np.float32))
+        zc = torch.from_numpy(rng.random((2, CLASS_DIM)).astype(np.float32))
+        feats = gen_lin(torch.cat([zs, zc], dim=1)).view(2, 5 * DIM, 1, 1)
+        img_t = dg(feats).numpy().transpose(0, 2, 3, 1)
+
+    enc = EncoderImg(dim=DIM, class_dim=CLASS_DIM, style_dim=style, img_size=64)
+    enc_vars = {"params": conv["params"]["encoder_PA"],
+                "batch_stats": conv["batch_stats"]["encoder_PA"]}
+    mu_c, logvar_c, mu_s, logvar_s = enc.apply(
+        enc_vars, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    _assert_close(mu_c, mu_c_t.numpy())
+    _assert_close(logvar_s, logvar_s_t.numpy())
+
+    dec = DecoderImg(dim=DIM, class_dim=CLASS_DIM, style_dim=style, img_size=64)
+    dec_vars = {"params": conv["params"]["decoder_PA"],
+                "batch_stats": conv["batch_stats"]["decoder_PA"]}
+    img_j = dec.apply(dec_vars, jnp.asarray(zc.numpy()), jnp.asarray(zs.numpy()),
+                      train=False)
+    _assert_close(img_j, img_t)
