@@ -235,10 +235,10 @@ def _save_figures(exp, plots: Dict[str, np.ndarray], epoch: int) -> None:
     cfg = exp.cfg
     if cfg.save_figure:
         try:
-            import matplotlib
-
-            matplotlib.use("Agg")
-            import matplotlib.pyplot as plt
+            # PIL, not matplotlib: the grids are already-assembled [0,1]
+            # arrays, and importing matplotlib costs ~1.7 s of the 1-core
+            # host's render budget for what is a plain PNG encode.
+            from PIL import Image
 
             # route each grid to its reference-parity subdir
             # (plots/{random_samples,cond_gen,swapping}, filehandling.py)
@@ -249,7 +249,11 @@ def _save_figures(exp, plots: Dict[str, np.ndarray], epoch: int) -> None:
                 path = os.path.join(
                     exp.paths[key], f"{tag.replace('/', '_')}_{epoch}.png"
                 )
-                plt.imsave(path, img.squeeze(-1) if img.shape[-1] == 1 else img,
-                           cmap="gray" if img.shape[-1] == 1 else None)
+                arr = (np.clip(np.asarray(img, np.float32), 0.0, 1.0) * 255.0
+                       ).round().astype(np.uint8)
+                if arr.shape[-1] == 1:
+                    Image.fromarray(arr.squeeze(-1), mode="L").save(path)
+                else:
+                    Image.fromarray(arr, mode="RGB").save(path)
         except Exception as e:
             log.debug(f"figure save skipped: {e}")
