@@ -150,6 +150,11 @@ class MopoeConfig:
     # test() pass (mimic/run_epochs.py:148-228); >0 caps each heavy eval at
     # that many test batches (and says so in the log — no silent caps).
     eval_max_batches: int = 0
+    # heavy-eval batch size: 0 → the training batch size (one compiled
+    # program per shape — the TPU-friendly default, PARITY.md deviations);
+    # set 30 for the reference's forced eval batch (run_epochs.py:188),
+    # which makes per-batch-averaged metric GROUPINGS match it exactly.
+    eval_batch_size: int = 0
     # coherence-classifier training depth: 0 → train to mean-AP/dice
     # early-stop convergence like the reference
     # (mimic/networks/classifiers/utils.py:130-203); >0 → that many quick
@@ -271,6 +276,12 @@ class MopoeConfig:
     @property
     def method_enum(self) -> Method:
         return Method(self.method)
+
+    @property
+    def effective_eval_batch_size(self) -> int:
+        """Heavy-eval batch size: cfg.eval_batch_size, or the training
+        batch size when 0 (see the eval_batch_size field note)."""
+        return self.eval_batch_size or self.batch_size
 
     @property
     def text_encoding_enum(self) -> TextEncoding:

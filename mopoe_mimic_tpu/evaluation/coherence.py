@@ -119,7 +119,8 @@ def test_generation(exp, state, evaluator: CoherenceEvaluator, max_batches: int 
         @jax.jit
         def gen_random(params, batch_stats, r):
             return model.apply(
-                {"params": params, "batch_stats": batch_stats}, cfg.batch_size,
+                {"params": params, "batch_stats": batch_stats},
+                cfg.effective_eval_batch_size,
                 train=False, rngs={"reparam": r},
                 method=lambda m, n, train: m.generate(n, train=train),
             )
@@ -154,7 +155,8 @@ def test_generation(exp, state, evaluator: CoherenceEvaluator, max_batches: int 
             def fused(params, batch_stats, clf_vars, batch, r1, r2):
                 variables = {"params": params, "batch_stats": batch_stats}
                 rand = model.apply(
-                    variables, cfg.batch_size, train=False, rngs={"reparam": r1},
+                    variables, cfg.effective_eval_batch_size, train=False,
+                    rngs={"reparam": r1},
                     method=lambda m, n, train: m.generate(n, train=train),
                 )
                 preds = jnp.stack([

@@ -163,7 +163,8 @@ def train_clf_lr_all_subsets(exp, state, mesh=None) -> LatentClassifier:
     train_loader = exp.eval_batches("train")  # device-resident when enabled
     data, labels = collect_subset_means(
         exp, state, train_loader, max_samples=max(cfg.num_training_samples_lr * 2,
-                                                  cfg.batch_size), mesh=mesh
+                                                  cfg.effective_eval_batch_size),
+        mesh=mesh
     )
     rng = np.random.default_rng(cfg.seed or 0)
     labels = np.nan_to_num(labels)

@@ -26,7 +26,8 @@ def run_eval_suite(
     if max_batches:
         log.info(
             f"heavy evals CAPPED at {max_batches} test batches "
-            f"(~{max_batches * cfg.batch_size} samples) — metrics are not "
+            f"(~{max_batches * cfg.effective_eval_batch_size} samples) — "
+            f"metrics are not "
             f"comparable to full-test-set reference numbers"
         )
     results: Dict[str, Any] = {}

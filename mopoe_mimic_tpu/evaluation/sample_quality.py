@@ -238,7 +238,7 @@ def calc_prd_score(
         @jax.jit
         def rand_gen(params, batch_stats, r):
             return model.apply({"params": params, "batch_stats": batch_stats},
-                               cfg.batch_size, train=False,
+                               cfg.effective_eval_batch_size, train=False,
                                rngs={"reparam": r},
                                method=lambda m, n, train: m.generate(n, train=train))
 
@@ -256,7 +256,8 @@ def calc_prd_score(
             cond = dict(model.apply(variables, batch, train=False,
                                     rngs={"reparam": r1}, method=go))
             cond["random"] = model.apply(
-                variables, cfg.batch_size, train=False, rngs={"reparam": r2},
+                variables, cfg.effective_eval_batch_size, train=False,
+                rngs={"reparam": r2},
                 method=lambda m, n, train: m.generate(n, train=train),
             )
             real = {

@@ -195,12 +195,21 @@ class Experiment:
         semantics as make_loaders (PARITY.md 'test loader state' row)."""
         cfg = self.cfg
         seed = (cfg.seed or 0) + (1 if split == "test" else 0)
+        bs = cfg.effective_eval_batch_size
         st = self.stores()
         if st is not None:
             store = st[0] if split == "train" else st[1]
-            return store.iter_epoch(epoch, cfg.batch_size, shuffle=True, seed=seed)
-        train_loader, test_loader = self.make_loaders()
-        loader = train_loader if split == "train" else test_loader
+            return store.iter_epoch(epoch, bs, shuffle=True, seed=seed)
+        if bs == cfg.batch_size:
+            train_loader, test_loader = self.make_loaders()
+            loader = train_loader if split == "train" else test_loader
+            loader.set_epoch(epoch)
+            return iter(loader)
+        # eval_batch_size override (reference forces batch 30,
+        # run_epochs.py:188): a fresh loader at the eval batch size with
+        # the same seeded-order semantics
+        ds = self.dataset_train if split == "train" else self.dataset_test
+        loader = BatchLoader(ds, bs, shuffle=True, seed=seed)
         loader.set_epoch(epoch)
         return iter(loader)
 

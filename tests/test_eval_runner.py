@@ -61,3 +61,35 @@ def test_run_eval_suite_all_modes(tmp_path):
     assert any(k.startswith("gen_eval") for k in res)
     assert any(k.startswith("likelihoods") for k in res)
     assert any(k.startswith("prd") for k in res)
+
+
+def test_eval_batch_size_override(tmp_path):
+    """cfg.eval_batch_size decouples the heavy-eval batch from the
+    training batch (reference forces eval batch 30, run_epochs.py:188):
+    eval_batches yields the override size in both loader and device-store
+    modes, and the full eval suite runs green at the override."""
+    base = dict(
+        method="joint_elbo", dataset="testing_structured", batch_size=8,
+        class_dim=4, DIM_img=2, DIM_text=2, img_size=64,
+        text_encoding="word", vocab_size=50, compute_dtype="float32",
+        seed=1, synthetic_length=24, eval_batch_size=6,
+        clf_quick_epochs=1, eval_max_batches=2,
+        eval_lr=True, calc_nll=True,
+        dir_experiment=str(tmp_path / "runs"),
+    )
+    cfg = MopoeConfig(**base)
+    assert cfg.effective_eval_batch_size == 6
+    assert MopoeConfig(**{**base, "eval_batch_size": 0}).effective_eval_batch_size == 8
+
+    exp = Experiment(cfg)
+    batch, labels = next(iter(exp.eval_batches("test")))
+    assert batch["PA"].shape[0] == 6 and labels.shape[0] == 6
+
+    cfg_store = MopoeConfig(**{**base, "device_resident_data": True})
+    exp_store = Experiment(cfg_store)
+    sbatch, slabels = next(iter(exp_store.eval_batches("test")))
+    assert sbatch["PA"].shape[0] == 6 and slabels.shape[0] == 6
+
+    state = exp.init_state()
+    results = run_eval_suite(exp, state, epoch=0)
+    assert "lr_eval" in results or results, "eval suite returned nothing"
