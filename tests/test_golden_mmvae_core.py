@@ -1,0 +1,254 @@
+"""Deepest golden parity check: run the ACTUAL reference VAEtrimodalMimic
+(torch, CPU) and our MMVae on the SAME weights (via the torch importer)
+and the SAME batch, and assert the core latent pipeline matches
+numerically — per-modality posteriors, every subset-PoE posterior, the
+deterministic MoE joint, and the static-prior joint divergence.
+
+This exercises the reference's real BaseMMVae.inference / poe /
+mixture_component_selection / calc_group_divergence_moe code paths
+against ops/fusion + ops/kl + models/mmvae.py, not re-derived formulas.
+
+Reference modules are loaded standalone with package stubs (as in
+test_golden_parity.py / test_torch_mopoe_import.py). Skips when the
+reference checkout is absent.
+"""
+
+import importlib.util
+import logging
+import sys
+import types
+from pathlib import Path
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+REF = Path("/root/reference")
+pytestmark = pytest.mark.skipif(not REF.exists(), reason="reference checkout absent")
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from mopoe_mimic_tpu.config import MopoeConfig
+from mopoe_mimic_tpu.models.mmvae import MMVae
+from mopoe_mimic_tpu.models.torch_import import convert_mopoe_state_dict
+from mopoe_mimic_tpu.ops import fusion as F
+from mopoe_mimic_tpu.ops.kl import group_divergence_moe
+
+DIM = 4
+CLASS_DIM = 6
+VOCAB = 30
+LEN_SEQ = 128
+B = 8
+
+
+def _load(name, rel):
+    spec = importlib.util.spec_from_file_location(name, REF / rel)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_vae_module():
+    """Load the reference VAEtrimodalMimic with its real dependency chain
+    (utils.utils, kl_div, mm_div, BaseMMVae, ConvNetworks*) and only the
+    torchvision-dependent CheXNet stubbed out."""
+    names = [
+        "mimic", "mimic.utils", "mimic.utils.exceptions", "mimic.utils.utils",
+        "mimic.evaluation", "mimic.evaluation.divergence_measures",
+        "mimic.evaluation.divergence_measures.kl_div",
+        "mimic.evaluation.divergence_measures.mm_div",
+        "mimic.utils.BaseMMVae", "mimic.networks",
+        "mimic.networks.ResidualBlocks", "mimic.networks.FeatureExtractorImg",
+        "mimic.networks.DataGeneratorImg", "mimic.networks.FeatureCompressor",
+        "mimic.networks.CheXNet", "mimic.networks.char_encoding",
+        "mimic.networks.word_encoding",
+        "mimic.networks.word_encoding.mmvae_text_enc",
+        "mimic.networks.ConvNetworksImgMimic",
+        "mimic.networks.ConvNetworksTextMimic",
+        "mimic.networks.VAEtrimodalMimic",
+    ]
+    saved = {k: sys.modules.get(k) for k in names}
+    try:
+        mimic_pkg = types.ModuleType("mimic")
+        mimic_pkg.log = logging.getLogger("ref_golden")
+        sys.modules["mimic"] = mimic_pkg
+        sys.modules["mimic.utils"] = types.ModuleType("mimic.utils")
+        sys.modules["mimic.evaluation"] = types.ModuleType("mimic.evaluation")
+        sys.modules["mimic.evaluation.divergence_measures"] = types.ModuleType(
+            "mimic.evaluation.divergence_measures")
+        sys.modules["mimic.networks"] = types.ModuleType("mimic.networks")
+
+        _load("mimic.utils.exceptions", "mimic/utils/exceptions.py")
+        uu = _load("mimic.utils.utils", "mimic/utils/utils.py")
+        sys.modules["mimic.utils"].utils = uu
+        _load("mimic.evaluation.divergence_measures.kl_div",
+              "mimic/evaluation/divergence_measures/kl_div.py")
+        _load("mimic.evaluation.divergence_measures.mm_div",
+              "mimic/evaluation/divergence_measures/mm_div.py")
+        _load("mimic.utils.BaseMMVae", "mimic/utils/BaseMMVae.py")
+
+        _load("mimic.networks.ResidualBlocks", "mimic/networks/ResidualBlocks.py")
+        _load("mimic.networks.FeatureExtractorImg",
+              "mimic/networks/FeatureExtractorImg.py")
+        _load("mimic.networks.DataGeneratorImg",
+              "mimic/networks/DataGeneratorImg.py")
+        _load("mimic.networks.FeatureCompressor",
+              "mimic/networks/FeatureCompressor.py")
+        chex_stub = types.ModuleType("mimic.networks.CheXNet")
+        chex_stub.PretrainedDenseNet = object
+        chex_stub.DenseNetFeatureExtractor = object
+        sys.modules["mimic.networks.CheXNet"] = chex_stub
+
+        fx_char = _load("mimic.networks.char_encoding.FeatureExtractorText",
+                        "mimic/networks/char_encoding/FeatureExtractorText.py")
+        dg_char = _load("mimic.networks.char_encoding.DataGeneratorText",
+                        "mimic/networks/char_encoding/DataGeneratorText.py")
+        char_pkg = types.ModuleType("mimic.networks.char_encoding")
+        char_pkg.FeatureExtractorText = fx_char.FeatureExtractorText
+        char_pkg.DataGeneratorText = dg_char.DataGeneratorText
+        sys.modules["mimic.networks.char_encoding"] = char_pkg
+
+        dg_word = _load("mimic.networks.word_encoding.DataGeneratorText",
+                        "mimic/networks/word_encoding/DataGeneratorText.py")
+        word_pkg = types.ModuleType("mimic.networks.word_encoding")
+        word_pkg.DataGeneratorText = dg_word.DataGeneratorText
+        sys.modules["mimic.networks.word_encoding"] = word_pkg
+        _load("mimic.networks.word_encoding.mmvae_text_enc",
+              "mimic/networks/word_encoding/mmvae_text_enc.py")
+
+        conv_img = _load("mimic.networks.ConvNetworksImgMimic",
+                         "mimic/networks/ConvNetworksImgMimic.py")
+        conv_text = _load("mimic.networks.ConvNetworksTextMimic",
+                          "mimic/networks/ConvNetworksTextMimic.py")
+        vae = _load("mimic.networks.VAEtrimodalMimic",
+                    "mimic/networks/VAEtrimodalMimic.py")
+        yield SimpleNamespace(vae=vae, conv_img=conv_img, conv_text=conv_text)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+def _ref_flags(method: str):
+    return SimpleNamespace(
+        DIM_img=DIM, DIM_text=DIM, image_channels=1, img_size=64,
+        vocab_size=VOCAB, len_sequence=LEN_SEQ, num_features=VOCAB,
+        text_gen_lastlayer="softmax", feature_extractor_img="resnet",
+        class_dim=CLASS_DIM, batch_size=B, device="cpu",
+        factorized_representation=False,
+        style_pa_dim=0, style_lat_dim=0, style_text_dim=0,
+        modality_moe=(method == "moe"), modality_jsd=(method == "jsd"),
+        modality_poe=(method == "poe"), joint_elbo=(method == "joint_elbo"),
+        alpha_modalities=[0.25, 0.25, 0.25, 0.25],
+        text_encoding="word",
+    )
+
+
+def _build_ref_model(ref_vae_module, flags):
+    torch.manual_seed(0)
+    mods = {}
+    for name in ("PA", "Lateral", "text"):
+        if name == "text":
+            enc = ref_vae_module.conv_text.EncoderText(flags, style_dim=0)
+            dec = ref_vae_module.conv_text.DecoderText(flags, style_dim=0)
+        else:
+            enc = ref_vae_module.conv_img.EncoderImg(flags, style_dim=0)
+            dec = ref_vae_module.conv_img.DecoderImg(flags, style_dim=0)
+        mods[name] = SimpleNamespace(name=name, encoder=enc, decoder=dec,
+                                     likelihood=None)
+    # subsets exactly as BaseExperiment.set_subsets (powerset incl. '')
+    from itertools import chain, combinations
+
+    xs = list(mods)
+    subsets = {}
+    for combo in chain.from_iterable(combinations(xs, n) for n in range(4)):
+        subsets["_".join(sorted(combo))] = [mods[m] for m in sorted(combo)]
+    model = ref_vae_module.vae.VAEtrimodalMimic(flags, mods, subsets)
+    model.eval()
+    return model
+
+
+def _batch(rng):
+    return {
+        "PA": rng.random((B, 64, 64, 1)).astype(np.float32),
+        "Lateral": rng.random((B, 64, 64, 1)).astype(np.float32),
+        "text": rng.integers(0, VOCAB, (B, LEN_SEQ)),
+    }
+
+
+def _close(a, b, tol=3e-4, what=""):
+    a, b = np.asarray(a), np.asarray(b)
+    assert a.shape == b.shape, (what, a.shape, b.shape)
+    scale = max(1.0, float(np.abs(b).max()))
+    diff = float(np.abs(a - b).max()) / scale
+    assert diff < tol, (what, diff)
+
+
+@pytest.mark.parametrize("method", ["joint_elbo", "moe", "poe", "jsd"])
+def test_inference_and_joint_divergence_match_reference(ref_vae_module, method):
+    flags = _ref_flags(method)
+    ref_model = _build_ref_model(ref_vae_module, flags)
+    cfg = MopoeConfig(
+        method=method, dataset="testing", img_size=64, DIM_img=DIM,
+        DIM_text=DIM, class_dim=CLASS_DIM, text_encoding="word",
+        vocab_size=VOCAB, batch_size=B, compute_dtype="float32",
+    )
+    conv = convert_mopoe_state_dict(ref_model.state_dict(), cfg)
+
+    rng = np.random.default_rng(7)
+    batch_np = _batch(rng)
+    torch_batch = {
+        "PA": torch.from_numpy(batch_np["PA"].transpose(0, 3, 1, 2)),
+        "Lateral": torch.from_numpy(batch_np["Lateral"].transpose(0, 3, 1, 2)),
+        "text": torch.from_numpy(batch_np["text"]),
+    }
+    with torch.no_grad():
+        lat_t = ref_model.inference(torch_batch)
+        div_t = ref_model.calc_joint_divergence(
+            lat_t["mus"], lat_t["logvars"], lat_t["weights"])
+
+    model = MMVae(cfg)
+    jb = {
+        "PA": jnp.asarray(batch_np["PA"]),
+        "Lateral": jnp.asarray(batch_np["Lateral"]),
+        "text": jnp.asarray(batch_np["text"]),
+    }
+    lat_j = model.apply(
+        {"params": conv["params"], "batch_stats": conv["batch_stats"]},
+        jb, train=False, method=lambda m, b, train: m.inference(b, train=train),
+    )
+
+    # per-modality posteriors
+    for m in ("PA", "Lateral", "text"):
+        _close(lat_j["modalities"][m][0], lat_t["modalities"][m][0].numpy(),
+               what=f"{method}:{m}:mu")
+        _close(lat_j["modalities"][m][1], lat_t["modalities"][m][1].numpy(),
+               what=f"{method}:{m}:logvar")
+    # every subset posterior
+    for s_key, (mu_t, lv_t) in lat_t["subsets"].items():
+        _close(lat_j["subsets"][s_key][0], mu_t.numpy(), what=f"{method}:{s_key}:mu")
+        _close(lat_j["subsets"][s_key][1], lv_t.numpy(), what=f"{method}:{s_key}:lv")
+    # joint mixture (deterministic stratified selection) + weights
+    _close(lat_j["joint"][0], lat_t["joint"][0].numpy(), what=f"{method}:joint_mu")
+    _close(lat_j["joint"][1], lat_t["joint"][1].numpy(), what=f"{method}:joint_lv")
+    _close(lat_j["weights"], lat_t["weights"].numpy(), what=f"{method}:weights")
+
+    # static/dynamic-prior joint divergence on the same stacked posteriors
+    div_j, _ = group_divergence_moe(
+        lat_j["mus"], lat_j["logvars"], lat_j["weights"], normalization=B,
+    ) if method != "jsd" else (None, None)
+    if method == "jsd":
+        from mopoe_mimic_tpu.ops.kl import alpha_jsd_divergence
+
+        div_j, _, _ = alpha_jsd_divergence(
+            lat_j["mus"], lat_j["logvars"], lat_j["weights"], normalization=B,
+        )
+    _close(np.asarray(div_j), div_t["joint_divergence"].numpy(),
+           tol=1e-3, what=f"{method}:joint_divergence")
