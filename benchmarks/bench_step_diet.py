@@ -16,6 +16,10 @@ candidate diets:
     block inputs and recomputing interiors in the backward pass. On a
     bandwidth-bound step this trades saved-activation READS for recompute
     WRITES, so it can go either way — hence measured, not assumed.
+  * ``remat=conv``: policy remat — save only conv outputs
+    (``checkpoint_name 'conv_out'``), recompute the elementwise
+    BN/ReLU/dropout interiors. Convs are never recomputed; only the
+    cheap elementwise chains are.
 
 Usage: python benchmarks/bench_step_diet.py [--steps N] [--batch B]
 Prints one JSON object per variant (bytes, FLOPs, honest ms/step,
@@ -41,6 +45,8 @@ VARIANTS = {
     "bn_bf16": {"bn_compute_dtype": "compute"},
     "remat": {"remat": "blocks"},
     "bn_bf16+remat": {"bn_compute_dtype": "compute", "remat": "blocks"},
+    "remat_conv": {"remat": "conv"},
+    "bn_bf16+remat_conv": {"bn_compute_dtype": "compute", "remat": "conv"},
 }
 
 
@@ -57,6 +63,12 @@ def run_variant(name, overrides, args):
         method="joint_elbo", dataset="testing", text_encoding="word",
         img_size=128, DIM_img=64, DIM_text=64, class_dim=64, vocab_size=3517,
         batch_size=args.batch, donate_state=on_tpu, use_pallas_fusion=on_tpu,
+        # training on ONE repeated noise batch is the worst case of the
+        # documented 1x1-spatial BN divergence (docs/STABILITY.md): at the
+        # canonical lr 5e-4 the loss sanity check NaNs within warmup, and
+        # clipping does NOT prevent it (Adam first steps are sign-steps).
+        # lr 1e-4 is the documented robust setting; bytes/ms are lr-blind.
+        initial_learning_rate=1e-4,
         **overrides,
     )
     mesh = make_mesh(cfg)
