@@ -278,6 +278,18 @@ class DeviceStore:
         order = self.epoch_order(epoch, shuffle=shuffle, seed=seed,
                                  weighted=weighted)
         nb = n // batch_size if drop_last else -(-n // batch_size)
+        if nb == 0 and n > 0:
+            # split smaller than one batch (tiny smoke runs): jit needs
+            # the static batch shape, so yield ONE wraparound-padded
+            # batch (repeated rows) instead of an empty epoch that
+            # starves every consumer (e.g. collect_subset_means).
+            log.warning(
+                f"DeviceStore.iter_epoch: split has {n} rows < batch_size "
+                f"{batch_size}; yielding one wraparound-padded batch"
+            )
+            idx = np.resize(order, batch_size)
+            yield self.gather(idx), self.labels[idx]
+            return
         for b in range(nb):
             idx = order[b * batch_size : (b + 1) * batch_size]
             yield self.gather(idx), self.labels[idx]

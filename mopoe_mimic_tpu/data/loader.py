@@ -11,7 +11,9 @@ Replaces torch DataLoader + DistributedSampler (mimic/dataio/utils.py:115-147):
   * `drop_last=True` always — jit needs static batch shapes. The reference
     instead rescaled partial batches implicitly by normalizing with
     flags.batch_size (kl_div.py:14-15); with full batches both contracts
-    coincide.
+    coincide. A split smaller than ONE batch yields a single
+    wraparound-padded batch (repeated rows, warned loudly) so tiny smoke
+    runs don't produce empty epochs.
 
 Multi-host data sharding (DistributedSampler parity, dataio/utils.py:120-122
 with per-epoch reshuffle at :144-147): every process draws the SAME global
@@ -111,13 +113,30 @@ class BatchLoader:
     def __len__(self) -> int:
         n = len(self._epoch_order())
         bs = self.local_batch_size
-        return n // bs if self.drop_last else -(-n // bs)
+        if self.drop_last:
+            # dataset (or host shard) smaller than one batch: one
+            # wraparound-padded batch (see __iter__), not zero.
+            return max(n // bs, 1 if n > 0 else 0)
+        return -(-n // bs)
 
     def __iter__(self) -> Iterator[Tuple[Dict[str, np.ndarray], np.ndarray]]:
         order = self._epoch_order()
         cols = self.dataset.arrays
         labels = np.asarray(self.dataset.labels)
         bs = self.local_batch_size
+        if self.drop_last and len(order) > 0 and len(order) < bs:
+            # jit needs static batch shapes, so a split smaller than one
+            # batch yields ONE wraparound-padded batch (repeated rows)
+            # instead of an empty epoch that starves every consumer.
+            from mopoe_mimic_tpu.utils.logger import log
+
+            log.warning(
+                f"BatchLoader: split has {len(order)} rows < batch_size "
+                f"{bs}; yielding one wraparound-padded batch"
+            )
+            idx = np.resize(order, bs)
+            yield {k: v[idx] for k, v in cols.items()}, labels[idx]
+            return
         nb = len(self)
         for b in range(nb):
             idx = order[b * bs : (b + 1) * bs]

@@ -123,6 +123,11 @@ def epoch_index_matrix(
     steps_per_training_epoch."""
     order = store.epoch_order(epoch, seed=seed, weighted=weighted)
     nb = len(order) // batch_size
+    if nb == 0 and len(order) > 0:
+        # split smaller than one batch (tiny smoke runs): one
+        # wraparound-padded batch instead of a zero-step epoch — jit
+        # needs the static batch shape, so short rows repeat.
+        return np.resize(order, batch_size).reshape(1, batch_size).astype(np.int32)
     if steps_cap:
         nb = min(nb, steps_cap)
     return order[: nb * batch_size].reshape(nb, batch_size).astype(np.int32)

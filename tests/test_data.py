@@ -42,6 +42,22 @@ def test_loader_shapes_and_determinism():
     assert len(loader) == 2  # drop_last with 8 samples / bs 4
 
 
+def test_loader_split_smaller_than_batch_wraps():
+    # a split with fewer rows than one batch yields ONE wraparound-padded
+    # batch (static shapes for jit) instead of an empty epoch
+    cfg = MopoeConfig(batch_size=16, img_size=64, text_encoding="word", dataset="testing")
+    ds = SyntheticMimic(cfg, seed=0, length=6)
+    loader = BatchLoader(ds, 16, shuffle=True, seed=1)
+    assert len(loader) == 1
+    batches = list(loader)
+    assert len(batches) == 1
+    batch, labels = batches[0]
+    assert batch["PA"].shape[0] == 16 and labels.shape[0] == 16
+    # every row is one of the 6 real rows (wraparound, no padding junk)
+    uniq = np.unique(labels, axis=0)
+    assert len(uniq) <= 6
+
+
 def test_weighted_loader_oversamples_rare_combos():
     cfg = MopoeConfig(batch_size=16, img_size=64, text_encoding="word", dataset="testing")
     ds = SyntheticMimic(cfg)

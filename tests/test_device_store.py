@@ -98,6 +98,24 @@ def test_iter_epoch_covers_and_reshuffles():
     assert seen == again  # deterministic per (seed, epoch)
 
 
+def test_iter_epoch_split_smaller_than_batch_wraps():
+    # tiny eval splits (rows < batch) yield one wraparound-padded batch
+    # instead of an empty epoch that starves the eval suite
+    cfg = _cfg()
+    ds = SyntheticMimic(cfg, seed=0, length=5)
+    store = DeviceStore(ds, cfg)
+    batches = list(store.iter_epoch(0, 8, seed=3))
+    assert len(batches) == 1
+    batch, labels = batches[0]
+    assert batch["PA"].shape[0] == 8 and labels.shape[0] == 8
+
+    from mopoe_mimic_tpu.train.scan import epoch_index_matrix
+
+    idx = epoch_index_matrix(store, 0, 8, seed=3)
+    assert idx.shape == (1, 8)
+    assert set(idx.ravel().tolist()) <= set(range(5))
+
+
 def test_train_step_runs_from_store():
     cfg = _cfg()
     ds = SyntheticMimic(cfg, seed=0, length=16)
