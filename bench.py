@@ -42,7 +42,7 @@ def main():
     ap.add_argument("--bn-dtype", default=None, choices=["float32", "compute"],
                     help="override cfg.bn_compute_dtype (byte-diet ablation; "
                     "see benchmarks/bench_step_diet.py)")
-    ap.add_argument("--remat", default=None, choices=["none", "blocks"],
+    ap.add_argument("--remat", default=None, choices=["none", "blocks", "conv"],
                     help="override cfg.remat (byte-diet ablation)")
     ap.add_argument("--stream", action="store_true",
                     help="feed a FRESH host batch every step through the "

@@ -219,10 +219,13 @@ class MopoeConfig:
     # either way (flax promotes stat computation internally).
     bn_compute_dtype: str = "float32"  # "float32" | "compute" | dtype name
     # "blocks": jax.checkpoint each residual block — save only block
-    # inputs, recompute interiors in the backward pass. Trades
-    # saved-activation reads for recompute writes; measured by
-    # benchmarks/bench_step_diet.py before changing any default.
-    remat: str = "none"  # "none" | "blocks"
+    # inputs, recompute interiors in the backward pass. "conv": policy
+    # remat — save only conv outputs, recompute the elementwise
+    # BN/ReLU/dropout interiors (cheap FLOPs, no saved-activation
+    # traffic). Trades saved-activation reads for recompute writes;
+    # measured by benchmarks/bench_step_diet.py before changing any
+    # default (BENCH.md step-diet table).
+    remat: str = "none"  # "none" | "blocks" | "conv"
     # render eval-round sample grids on the experiment's host worker
     # thread instead of blocking the eval round (evaluation/runner.py);
     # rendering overlaps the next scanned epoch and is drained at end of

@@ -43,7 +43,7 @@ class FeatureExtractorImg(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     bn_eps: float = 1e-5
     bn_dtype: Optional[jnp.dtype] = None
-    remat: bool = False
+    remat: bool | str = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = True) -> jnp.ndarray:
@@ -78,7 +78,7 @@ class DataGeneratorImg(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     bn_eps: float = 1e-5
     bn_dtype: Optional[jnp.dtype] = None
-    remat: bool = False
+    remat: bool | str = False
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, *, train: bool = True) -> jnp.ndarray:
@@ -120,7 +120,7 @@ class EncoderImg(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     bn_eps: float = 1e-5
     bn_dtype: Optional[jnp.dtype] = None
-    remat: bool = False
+    remat: bool | str = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = True):
@@ -158,7 +158,7 @@ class DecoderImg(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     bn_eps: float = 1e-5
     bn_dtype: Optional[jnp.dtype] = None
-    remat: bool = False
+    remat: bool | str = False
 
     FIXED_SCALE: float = 0.75
 

@@ -58,9 +58,9 @@ class MMVae(nn.Module):
         # "compute" resolves to the compute dtype; any other value is a
         # dtype name ("float32" = the parity default).
         bn_dtype = dtype if cfg.bn_compute_dtype == "compute" else jnp.dtype(cfg.bn_compute_dtype)
-        if cfg.remat not in ("none", "blocks"):
+        if cfg.remat not in ("none", "blocks", "conv"):
             raise NotImplementedError(f"remat mode {cfg.remat!r}")
-        remat = cfg.remat == "blocks"
+        remat = False if cfg.remat == "none" else cfg.remat
         style = cfg.style_dims if cfg.factorized_representation else {
             m: 0 for m in cfg.modality_names
         }

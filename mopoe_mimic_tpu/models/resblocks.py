@@ -25,8 +25,10 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.ad_checkpoint import checkpoint_name
 
 
 class TorchConvTranspose(nn.Module):
@@ -152,6 +154,7 @@ class ResidualBlockConv(_BlockBase):
         h = self._bn("bn1")(x, use_running_average=det)
         h = nn.relu(h)
         h = _conv(x.shape[-1], 1, 1, 0, self.use_conv_bias, self.dtype, self.param_dtype, "conv1", spatial)(h)
+        h = checkpoint_name(h, "conv_out")
         h = self._dropout(h, det, spatial)
         h = self._bn("bn2")(h, use_running_average=det)
         h = nn.relu(h)
@@ -159,6 +162,7 @@ class ResidualBlockConv(_BlockBase):
             self.features, self.kernel_size, self.stride, self.padding,
             self.use_conv_bias, self.dtype, self.param_dtype, "conv2", spatial,
         )(h)
+        h = checkpoint_name(h, "conv_out")
         h = self._dropout(h, det, spatial)
         residual = x
         if self.use_shortcut:
@@ -166,6 +170,7 @@ class ResidualBlockConv(_BlockBase):
                 self.features, self.kernel_size, self.stride, self.padding,
                 True, self.dtype, self.param_dtype, "shortcut_conv", spatial,
             )(x)
+            residual = checkpoint_name(residual, "conv_out")
             residual = self._bn("shortcut_bn")(residual, use_running_average=det)
         return self.a * residual + self.b * h
 
@@ -186,6 +191,7 @@ class ResidualBlockTransposeConv(_BlockBase):
             x.shape[-1], 1, 1, 0, 0, self.use_conv_bias, self.dtype, self.param_dtype,
             name="conv1",
         )(h)
+        h = checkpoint_name(h, "conv_out")
         h = self._dropout(h, det, spatial)
         h = self._bn("bn2")(h, use_running_average=det)
         h = nn.relu(h)
@@ -194,6 +200,7 @@ class ResidualBlockTransposeConv(_BlockBase):
             self.output_padding, self.use_conv_bias, self.dtype, self.param_dtype,
             name="conv2",
         )(h)
+        h = checkpoint_name(h, "conv_out")
         h = self._dropout(h, det, spatial)
         residual = x
         if self.use_shortcut:
@@ -202,16 +209,33 @@ class ResidualBlockTransposeConv(_BlockBase):
                 self.output_padding, True, self.dtype, self.param_dtype,
                 name="shortcut_conv",
             )(x)
+            residual = checkpoint_name(residual, "conv_out")
             residual = self._bn("shortcut_bn")(residual, use_running_average=det)
         return self.a * residual + self.b * h
 
 
-def maybe_remat(block_cls, enabled: bool):
-    """cfg.remat='blocks': ``jax.checkpoint`` the block — only its input is
-    saved for the backward pass; BN/conv/dropout interiors are recomputed
-    (same rng replay, bit-identical values). static_argnums=(2,) marks
-    ``train`` (self=0, x=1) static so the BN train/eval Python branch
-    survives the transform. No-op (returns the class) when disabled."""
-    if not enabled:
+def maybe_remat(block_cls, mode):
+    """Per-block rematerialization (cfg.remat).
+
+    ``'blocks'`` (or True): ``jax.checkpoint`` the block — only its input
+    is saved for the backward pass; BN/conv/dropout interiors are
+    recomputed (same rng replay, bit-identical values).
+
+    ``'conv'``: policy remat — save only the (transpose-)conv outputs
+    (tagged ``checkpoint_name 'conv_out'`` above) and recompute the
+    elementwise BN/ReLU/dropout interiors in the backward pass. On a
+    bandwidth-bound step this drops the saved BN/ReLU activations from
+    HBM traffic while keeping the expensive convs un-recomputed.
+
+    static_argnums=(2,) marks ``train`` (self=0, x=1) static so the BN
+    train/eval Python branch survives the transform. No-op (returns the
+    class) when mode is falsy/'none'."""
+    if not mode or mode == "none":
         return block_cls
+    if mode == "conv":
+        return nn.remat(
+            block_cls,
+            static_argnums=(2,),
+            policy=jax.checkpoint_policies.save_only_these_names("conv_out"),
+        )
     return nn.remat(block_cls, static_argnums=(2,))

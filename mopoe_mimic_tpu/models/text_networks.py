@@ -42,7 +42,7 @@ class FeatureExtractorTextChar(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     bn_eps: float = 1e-5
     bn_dtype: Optional[jnp.dtype] = None
-    remat: bool = False
+    remat: bool | str = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = True) -> jnp.ndarray:
@@ -66,7 +66,7 @@ class DataGeneratorTextChar(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     bn_eps: float = 1e-5
     bn_dtype: Optional[jnp.dtype] = None
-    remat: bool = False
+    remat: bool | str = False
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, *, train: bool = True) -> jnp.ndarray:
@@ -94,7 +94,7 @@ class FeatureExtractorTextWord(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     bn_eps: float = 1e-5
     bn_dtype: Optional[jnp.dtype] = None
-    remat: bool = False
+    remat: bool | str = False
 
     @nn.compact
     def __call__(self, ids: jnp.ndarray, *, train: bool = True) -> jnp.ndarray:
@@ -131,7 +131,7 @@ class DataGeneratorTextWord(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     bn_eps: float = 1e-5
     bn_dtype: Optional[jnp.dtype] = None
-    remat: bool = False
+    remat: bool | str = False
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, *, train: bool = True) -> jnp.ndarray:
@@ -181,7 +181,7 @@ class EncoderText(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     bn_eps: float = 1e-5
     bn_dtype: Optional[jnp.dtype] = None
-    remat: bool = False
+    remat: bool | str = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = True):
@@ -219,7 +219,7 @@ class DecoderText(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     bn_eps: float = 1e-5
     bn_dtype: Optional[jnp.dtype] = None
-    remat: bool = False
+    remat: bool | str = False
 
     @nn.compact
     def __call__(

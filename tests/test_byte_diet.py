@@ -50,6 +50,20 @@ def test_remat_blocks_is_numerics_identical_in_f32():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
 
+def test_remat_conv_policy_is_numerics_identical_in_f32():
+    # "conv": save only conv outputs (checkpoint_name tags), recompute
+    # the elementwise BN/ReLU/dropout interiors. Same math, same rng
+    # replay — values must match the baseline exactly like full remat.
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 64, 1))
+    base = EncoderImg(dim=2, class_dim=6, img_size=64, remat=False)
+    remat = EncoderImg(dim=2, class_dim=6, img_size=64, remat="conv")
+    loss0, g0 = _loss_and_grad(base, x)
+    loss1, g1 = _loss_and_grad(remat, x)
+    assert float(loss0) == pytest.approx(float(loss1), rel=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
 def test_bn_compute_dtype_bf16_finite_and_close():
     x = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 64, 1))
     base = EncoderImg(dim=2, class_dim=6, img_size=64,
