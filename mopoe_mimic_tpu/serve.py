@@ -13,9 +13,16 @@ the serving surface of the framework:
   * weights restore from the BEST checkpoint by test loss when metrics
     were recorded (utils/checkpoints.CheckpointManager), else the latest.
 
+Ahead-of-time deployment: ``InferenceSession.export`` serializes the
+endpoints as self-contained StableHLO artifacts (``jax.export``, weights
+baked in, cross-lowered for CPU+TPU); ``load_exported`` runs them with
+no model code, checkpoint layout, or config — the JAX-native equivalent
+of a SavedModel.
+
 CLI:
     python -m mopoe_mimic_tpu.serve --run_dir DIR --mode generate \
         --num_samples 16 --out OUT_DIR
+    python -m mopoe_mimic_tpu.serve --run_dir DIR --mode export --bucket 32
 """
 
 from __future__ import annotations
@@ -210,6 +217,99 @@ class InferenceSession:
 
 
     # ------------------------------------------------------------------
+    # ahead-of-time export (jax.export / StableHLO)
+    # ------------------------------------------------------------------
+
+    def export(
+        self,
+        out_dir: str,
+        kinds: Sequence[str] = ("generate", "encode", "cond_generate"),
+        bucket: Optional[int] = None,
+        platforms: Sequence[str] = ("cpu", "tpu"),
+    ) -> Dict[str, str]:
+        """Serialize the inference endpoints as self-contained StableHLO
+        artifacts (``jax.export``): weights are baked in as constants, so
+        a consumer needs only jax — no model code, no checkpoint layout,
+        no config — to run them (``load_exported``). Cross-lowered for all
+        ``platforms`` so one artifact serves CPU canaries and TPU fleets.
+
+        One artifact per (endpoint, static batch ``bucket``); returns
+        {kind: artifact path} and writes a ``manifest.json`` with the
+        config snapshot, shapes, and jax version."""
+        from jax import export as jexport
+
+        bucket = bucket or self.buckets[0]
+        os.makedirs(out_dir, exist_ok=True)
+        cfg = self.cfg
+        key_spec = jax.ShapeDtypeStruct((2,), np.uint32)
+        batch_spec = {
+            "PA": jax.ShapeDtypeStruct(
+                (bucket, cfg.img_size, cfg.img_size, cfg.image_channels),
+                np.float32),
+            "Lateral": jax.ShapeDtypeStruct(
+                (bucket, cfg.img_size, cfg.img_size, cfg.image_channels),
+                np.float32),
+            "text": (
+                jax.ShapeDtypeStruct((bucket, cfg.len_sequence), np.int32)
+                if cfg.text_encoding == "word"
+                else jax.ShapeDtypeStruct(
+                    (bucket, cfg.len_sequence, cfg.num_features), np.float32)
+            ),
+        }
+        model, params, stats = self.model, self.params, self.batch_stats
+        paths: Dict[str, str] = {}
+        for kind in kinds:
+            if kind == "generate":
+                def fn(r):
+                    return model.apply(
+                        {"params": params, "batch_stats": stats}, bucket,
+                        train=False, rngs={"reparam": r},
+                        method=lambda m, k, train: m.generate(k, train=train))
+                args = (key_spec,)
+            elif kind == "encode":
+                def fn(batch):
+                    def m_enc(m, b, train):
+                        lat = m.inference(b, train=train)
+                        return {"subsets": lat["subsets"], "joint": lat["joint"]}
+                    return model.apply(
+                        {"params": params, "batch_stats": stats}, batch,
+                        train=False, rngs={"reparam": jax.random.PRNGKey(0)},
+                        method=m_enc)
+                args = (batch_spec,)
+            elif kind == "cond_generate":
+                def fn(batch, r):
+                    def m_cond(m, b, train):
+                        lat = m.inference(b, train=train)
+                        return m.cond_generation(lat["subsets"], train=train)
+                    return model.apply(
+                        {"params": params, "batch_stats": stats}, batch,
+                        train=False, rngs={"reparam": r}, method=m_cond)
+                args = (batch_spec, key_spec)
+            else:
+                raise ValueError(kind)
+            exported = jexport.export(
+                jax.jit(fn), platforms=tuple(platforms))(*args)
+            path = os.path.join(out_dir, f"{kind}_b{bucket}.jaxexport")
+            with open(path, "wb") as f:
+                f.write(exported.serialize())
+            paths[kind] = path
+            log.info(f"exported {kind} (bucket {bucket}) → {path}")
+        with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+            json.dump({
+                "bucket": bucket,
+                "platforms": list(platforms),
+                "kinds": {k: os.path.basename(v) for k, v in paths.items()},
+                "epoch": self.epoch,
+                "jax_version": jax.__version__,
+                "config": {
+                    "img_size": cfg.img_size, "len_sequence": cfg.len_sequence,
+                    "text_encoding": cfg.text_encoding,
+                    "class_dim": cfg.class_dim, "method": cfg.method,
+                },
+            }, f, indent=2)
+        return paths
+
+    # ------------------------------------------------------------------
     # raw-input helpers (production ergonomics; the codecs the training
     # pipeline uses, exposed on the session)
     # ------------------------------------------------------------------
@@ -261,6 +361,24 @@ class InferenceSession:
         return tensor_to_text(np.asarray(probs), one_hot=True, i2w=i2w)
 
 
+def load_exported(artifact_dir: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Load artifacts written by ``InferenceSession.export``.
+
+    Returns ({kind: callable}, manifest). The callables are the
+    deserialized StableHLO programs with the trained weights baked in —
+    running them needs only jax, not the model code, the checkpoint
+    layout, or the training config."""
+    from jax import export as jexport
+
+    with open(os.path.join(artifact_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    fns: Dict[str, Any] = {}
+    for kind, fname in manifest["kinds"].items():
+        with open(os.path.join(artifact_dir, fname), "rb") as f:
+            fns[kind] = jexport.deserialize(bytearray(f.read())).call
+    return fns, manifest
+
+
 # ---------------------------------------------------------------------------
 # CLI
 # ---------------------------------------------------------------------------
@@ -268,16 +386,22 @@ class InferenceSession:
 def main(argv: Optional[Sequence[str]] = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--run_dir", required=True)
-    ap.add_argument("--mode", choices=("generate",), default="generate")
+    ap.add_argument("--mode", choices=("generate", "export"), default="generate")
     ap.add_argument("--num_samples", type=int, default=16)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--epoch", type=int, default=None)
+    ap.add_argument("--bucket", type=int, default=None,
+                    help="static batch size for --mode export")
     ap.add_argument("--out", default=None, help="output dir (default: run_dir/serving)")
     args = ap.parse_args(argv)
 
     sess = InferenceSession(run_dir=args.run_dir, epoch=args.epoch)
     out_dir = args.out or os.path.join(args.run_dir, "serving")
     os.makedirs(out_dir, exist_ok=True)
+    if args.mode == "export":
+        paths = sess.export(out_dir, bucket=args.bucket)
+        log.info(f"exported {sorted(paths)} to {out_dir}")
+        return
     samples = sess.generate(args.num_samples, seed=args.seed)
     from mopoe_mimic_tpu.utils.save_samples import write_samples_img_to_file
 

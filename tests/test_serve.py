@@ -142,6 +142,37 @@ def _char_state():
     return create_train_state(cfg, jax.random.PRNGKey(0), batch)
 
 
+def test_export_roundtrip_matches_live_session(tmp_path, session):
+    # jax.export artifacts: weights baked in, loadable WITHOUT model code,
+    # outputs identical to the live jitted endpoints
+    from mopoe_mimic_tpu.serve import load_exported
+
+    sess, batch = session
+    out_dir = str(tmp_path / "artifacts")
+    paths = sess.export(out_dir, bucket=2, platforms=("cpu",))
+    assert set(paths) == {"generate", "encode", "cond_generate"}
+
+    fns, manifest = load_exported(out_dir)
+    assert manifest["bucket"] == 2
+
+    key = np.asarray(jax.random.PRNGKey(7), np.uint32)
+    live = sess._fn("generate", 2)(sess.params, sess.batch_stats,
+                                   jax.random.PRNGKey(7))
+    art = fns["generate"](key)
+    for m in live:
+        np.testing.assert_allclose(np.asarray(art[m]), np.asarray(live[m]),
+                                   rtol=1e-5, atol=1e-5)
+
+    small = {k: np.asarray(v)[:2] for k, v in batch.items()}
+    small = {k: (v.astype(np.int32) if k == "text" else v.astype(np.float32))
+             for k, v in small.items()}
+    live_enc = sess._fn("encode", 2)(sess.params, sess.batch_stats, small)
+    art_enc = fns["encode"](small)
+    np.testing.assert_allclose(np.asarray(art_enc["joint"][0]),
+                               np.asarray(live_enc["joint"][0]),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_requests_larger_than_biggest_bucket(session):
     """Requests beyond the largest bucket split into multiple chunks."""
     sess, batch = session
