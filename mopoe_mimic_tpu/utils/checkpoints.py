@@ -25,9 +25,10 @@ blocks instead of pinning unbounded device memory. Every read API
 first, so save-then-restore semantics are unchanged.
 
 Staged best (``stage``/``flush_staged``): improvement-epoch saves are
-*staged*, not written — staging just holds the python reference to the
-immutable TrainState, keeping its buffers alive in HBM at zero link
-traffic. Early training improves almost every epoch, and each eager
+*staged*, not written — staging snapshots the TrainState to fresh device
+buffers (one on-device copy, zero link traffic; a bare python reference
+is NOT enough — buffer donation by the next train dispatch deletes the
+original buffers). Early training improves almost every epoch, and each eager
 ~450 MB state download saturated the host↔device link for ~13 s/epoch
 (measured: the next test pass's RPCs queue behind it). The staged best
 is downloaded+written only at checkpoint_freq boundaries, on early
@@ -50,7 +51,18 @@ import jax
 import orbax.checkpoint as ocp
 from orbax.checkpoint.checkpoint_managers import preservation_policy as _pp
 
+import jax.numpy as jnp
+
 from mopoe_mimic_tpu.train.state import TrainState
+
+# Fresh device buffers for a TrainState (one HBM pass, zero link traffic).
+# Holding a Python reference does NOT keep buffers alive under buffer
+# donation: the next train dispatch (cfg.donate_state) donates the current
+# state's buffers and jax DELETES them, so a staged best — or a state
+# still queued for an async download — would be dead by the time it is
+# written (measured: 'Array has been deleted' at the final flush of the
+# 65k rehearsal). Copying at stage/enqueue time makes the snapshot durable.
+_device_copy = jax.jit(lambda t: jax.tree_util.tree_map(jnp.copy, t))
 
 
 class CheckpointManager:
@@ -129,9 +141,10 @@ class CheckpointManager:
                 self.save(s_epoch, s_state, metrics=s_metrics)
         self._raise_pending()
         if self._queue is not None:
-            # TrainState is immutable; holding the reference keeps the
-            # device buffers alive until the worker has downloaded them
-            self._queue.put((epoch, state, metrics, force))
+            # snapshot to fresh device buffers: the caller's state buffers
+            # may be DONATED into the next dispatch before the worker's
+            # download completes (see _device_copy)
+            self._queue.put((epoch, _device_copy(state), metrics, force))
         else:
             self._save_sync(epoch, state, metrics, force)
             self._mgr.wait_until_finished()
@@ -144,13 +157,14 @@ class CheckpointManager:
     ) -> None:
         """Hold ``state`` as the pending best WITHOUT downloading it.
 
-        TrainState is immutable, so keeping the reference keeps the
-        device buffers alive; the download + orbax write happen at the
-        next flush_staged() (boundary/stop/close/read). A newer stage()
-        replaces an unflushed older one."""
+        The state is snapshotted to fresh device buffers (one HBM pass,
+        zero link traffic — see _device_copy: a bare reference dies when
+        the next dispatch donates the buffers); the download + orbax
+        write happen at the next flush_staged() (boundary/stop/close/
+        read). A newer stage() replaces an unflushed older one."""
         if jax.process_index() != 0:
             return
-        self._staged = (epoch, state, metrics)
+        self._staged = (epoch, _device_copy(state), metrics)
 
     def flush_staged(self) -> None:
         """Write the pending staged best, if any (one state download)."""

@@ -62,6 +62,37 @@ def test_staged_best_flushes_on_read_and_supersede(tmp_path):
     mgr.close()
 
 
+def test_staged_and_queued_states_survive_buffer_donation(tmp_path):
+    # Under cfg.donate_state the next train dispatch DELETES the previous
+    # state's device buffers, so stage()/async save() must snapshot to
+    # fresh buffers (a bare reference crashed the 65k rehearsal's final
+    # flush: "Array has been deleted"). Simulate donation by explicitly
+    # deleting the source arrays after handing the state over.
+    import jax.numpy as jnp
+
+    def dev_state(v: float):
+        return {"params": {"w": jnp.full((3,), v, dtype=jnp.float32)},
+                "step": jnp.asarray(int(v))}
+
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    s1 = dev_state(1.0)
+    mgr.stage(1, s1, metrics={"test_loss": 3.0})
+    for leaf in [s1["params"]["w"], s1["step"]]:
+        leaf.delete()  # what donation does to the staged original
+
+    s2 = dev_state(2.0)
+    mgr.save(2, s2, metrics={"test_loss": 2.5})  # async enqueue
+    for leaf in [s2["params"]["w"], s2["step"]]:
+        leaf.delete()  # donation racing the async download
+
+    assert set(mgr.all_epochs()) == {1, 2}  # drains + flushes first
+    _, restored = mgr.restore(dev_state(0.0), epoch=1)
+    assert float(np.asarray(restored["params"]["w"])[0]) == 1.0
+    _, restored = mgr.restore(dev_state(0.0), epoch=2)
+    assert float(np.asarray(restored["params"]["w"])[0]) == 2.0
+    mgr.close()
+
+
 def test_staged_best_persisted_by_close(tmp_path):
     mgr = CheckpointManager(str(tmp_path / "ck"), max_to_keep=2)
     mgr.stage(5, _state(5.0), {"test_loss": 1.0})
