@@ -1,6 +1,7 @@
 """Unit tests for evaluation math: Metrics, BLEU, FID/PRD, IWAE pieces."""
 
 import numpy as np
+import pytest
 
 from mopoe_mimic_tpu.evaluation.bleu import common_word_count, corpus_bleu
 from mopoe_mimic_tpu.evaluation.metrics import Metrics
@@ -127,6 +128,26 @@ def test_fid_zero_for_identical_sets():
     assert abs(calculate_fid(acts, acts)) < 1e-4
     shifted = acts + 5.0
     assert calculate_fid(acts, shifted) > 20.0
+
+
+def test_frechet_eigh_matches_scipy_sqrtm():
+    # the eigh-based tr√(Σ₁Σ₂) must equal the classical complex-Schur
+    # sqrtm value (pytorch-fid semantics), incl. on rank-deficient Σ
+    from scipy import linalg
+
+    from mopoe_mimic_tpu.evaluation.sample_quality import frechet_distance
+
+    rng = np.random.default_rng(3)
+    for n_rows in (50, 6):  # 6 rows × 8 dims → singular covariance
+        a = rng.normal(size=(n_rows, 8))
+        b = rng.normal(size=(n_rows, 8)) * 1.7 + 0.4
+        mu1, s1 = a.mean(0), np.cov(a, rowvar=False)
+        mu2, s2 = b.mean(0), np.cov(b, rowvar=False)
+        covmean, _ = linalg.sqrtm(s1 @ s2, disp=False)
+        ref = float((mu1 - mu2) @ (mu1 - mu2) + np.trace(s1) + np.trace(s2)
+                    - 2 * np.trace(covmean.real))
+        got = frechet_distance(mu1, s1, mu2, s2)
+        assert got == pytest.approx(ref, rel=1e-6, abs=1e-6)
 
 
 def test_prd_identical_distributions_high_precision_recall():
