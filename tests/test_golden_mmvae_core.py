@@ -205,7 +205,7 @@ def ref_loss_modules(ref_vae_module):
         "mimic.modalities", "mimic.modalities.utils",
         "mimic.modalities.Modality", "mimic.modalities.MimicPA",
         "mimic.modalities.MimicLateral", "mimic.modalities.MimicText",
-        "mimic.evaluation.losses",
+        "mimic.evaluation.losses", "mimic.utils.likelihood",
     ]
     saved = {k: sys.modules.get(k) for k in names}
     try:
@@ -250,8 +250,10 @@ def ref_loss_modules(ref_vae_module):
         lat = _load("mimic.modalities.MimicLateral", "mimic/modalities/MimicLateral.py")
         txt = _load("mimic.modalities.MimicText", "mimic/modalities/MimicText.py")
         losses = _load("mimic.evaluation.losses", "mimic/evaluation/losses.py")
+        lik = _load("mimic.utils.likelihood", "mimic/utils/likelihood.py")
         yield SimpleNamespace(
-            losses=losses, MimicPA=pa.MimicPA, MimicLateral=lat.MimicLateral,
+            losses=losses, likelihood=lik,
+            MimicPA=pa.MimicPA, MimicLateral=lat.MimicLateral,
             MimicText=txt.MimicText,
             utils=sys.modules["mimic.utils.utils"],
         )
@@ -408,6 +410,115 @@ def test_total_loss_matches_reference(
            what=f"{method}:weighted_log_prob")
     _close(np.asarray(total_j), total_t.numpy(), tol=1e-3,
            what=f"{method}:total_loss")
+
+
+def test_iwae_estimates_match_reference_per_datapoint(
+    ref_vae_module, ref_loss_modules, monkeypatch
+):
+    """Golden NLL parity: run the reference's ACTUAL IWAE code
+    (get_latent_samples → generate_sufficient_statistics_from_latents →
+    log_marginal_estimate / log_joint_estimate, utils/likelihood.py) and
+    our evaluation/likelihood.make_likelihood_fn on identical imported
+    weights, deterministic z = mu, and the same batch.
+
+    UPSTREAM LATENT BUG pinned here too: the reference flattens its
+    importance repeats K-major (``repeat(K,1,1).view(K·B, -1)``) but
+    regroups the log-weights with ``view(B, K)`` (B-major,
+    utils/likelihood.py:138/218), so for B > 1 each row's logmeanexp
+    mixes importance samples from DIFFERENT datapoints. At B = 1 the
+    grouping is trivially correct, so the golden comparison runs the
+    reference per datapoint and averages — exactly the corrected
+    semantics our implementation computes in one vectorized program.
+    The test also asserts the raw B=8 reference call DIFFERS from the
+    per-datapoint value (the bug is real, not a tolerance artifact)."""
+    method = "joint_elbo"
+    flags = _ref_flags(method)
+    ref_model, mods = _build_ref_model_with_likelihoods(
+        ref_vae_module, ref_loss_modules, flags)
+    cfg = MopoeConfig(
+        method=method, dataset="testing", img_size=64, DIM_img=DIM,
+        DIM_text=DIM, class_dim=CLASS_DIM, text_encoding="word",
+        vocab_size=VOCAB, batch_size=B, compute_dtype="float32",
+    )
+    conv = convert_mopoe_state_dict(ref_model.state_dict(), cfg)
+
+    # deterministic z on both sides: z = mu everywhere
+    monkeypatch.setattr(ref_loss_modules.utils, "reparameterize",
+                        lambda mu, logvar: mu)
+    zeros_normal = lambda key, shape, dtype=jnp.float32: jnp.zeros(shape, dtype)
+    monkeypatch.setattr(jax.random, "normal", zeros_normal)
+
+    K = 6
+    rng = np.random.default_rng(13)
+    batch_np = _batch(rng)
+    torch_batch = {
+        "PA": torch.from_numpy(batch_np["PA"].transpose(0, 3, 1, 2)),
+        "Lateral": torch.from_numpy(batch_np["Lateral"].transpose(0, 3, 1, 2)),
+        "text": torch.from_numpy(batch_np["text"]),
+    }
+    RL = ref_loss_modules.likelihood
+
+    def ref_estimate(s_key, flags_b, sl):
+        """The reference calc_log_likelihood_batch wiring
+        (eval_metrics/likelihood.py:17-91), non-factorized, on the row
+        slice ``sl`` with flags.batch_size=len(sl)."""
+        bsz = flags_b.batch_size
+        with torch.no_grad():
+            latents = ref_model.inference(
+                {m: t[sl] for m, t in torch_batch.items()})
+            s_dist = latents["subsets"][s_key]
+            l = RL.get_latent_samples(
+                flags_b, {"content": s_dist, "style": None}, K, list(mods))
+            n_tot = bsz * K
+            c = {k: l["content"][k].view(n_tot, -1) for k in ("mu", "logvar", "z")}
+            l_dec = {"content": c["z"], "style": {m: None for m in mods}}
+            gen = ref_model.generate_sufficient_statistics_from_latents(l_dec)
+            b_onehot = {
+                "PA": torch_batch["PA"][sl], "Lateral": torch_batch["Lateral"][sl],
+                "text": torch.nn.functional.one_hot(
+                    torch_batch["text"][sl].to(torch.int64), VOCAB),
+            }
+            out = {}
+            for m in mods:
+                out[m] = float(RL.log_marginal_estimate(
+                    flags_b, K, gen[m], b_onehot[m], None, c))
+            out["joint"] = float(RL.log_joint_estimate(
+                flags_b, K, gen, b_onehot, {m: None for m in mods}, c))
+        return out
+
+    import mopoe_mimic_tpu.evaluation.likelihood as our_lik
+    from mopoe_mimic_tpu.models.mmvae import MMVae
+
+    model = MMVae(cfg)
+    jb = {
+        "PA": jnp.asarray(batch_np["PA"]),
+        "Lateral": jnp.asarray(batch_np["Lateral"]),
+        "text": jnp.asarray(batch_np["text"]),
+    }
+    s_keys = ("PA", "Lateral_PA", "Lateral_PA_text")
+    fn = our_lik.make_likelihood_fn(cfg, model, s_keys, n_imp=K)
+    ours = jax.device_get(fn(conv["params"], conv["batch_stats"], jb,
+                             jax.random.PRNGKey(0)))
+
+    flags1 = _ref_flags(method)
+    flags1.batch_size = 1
+    for s_key in s_keys:
+        ref_vals = {m: 0.0 for m in list(mods) + ["joint"]}
+        for b_i in range(B):  # per-datapoint = correct grouping
+            one = ref_estimate(s_key, flags1, slice(b_i, b_i + 1))
+            for m in ref_vals:
+                ref_vals[m] += one[m] / B
+        for m in ref_vals:
+            _close(np.asarray(ours[s_key][m]), np.asarray(ref_vals[m]),
+                   tol=2e-3, what=f"iwae:{s_key}:{m}")
+
+    # and the raw full-batch reference call is NOT the corrected value
+    flags8 = _ref_flags(method)
+    raw = ref_estimate("Lateral_PA_text", flags8, slice(0, B))
+    correct_joint = float(np.asarray(ours["Lateral_PA_text"]["joint"]))
+    assert abs(raw["joint"] - correct_joint) > 1e-3 * abs(correct_joint), (
+        "expected the reference's B-major regrouping of K-major weights "
+        "to differ; did upstream get fixed?")
 
 
 @pytest.mark.parametrize("method", ["joint_elbo", "moe", "poe", "jsd"])
