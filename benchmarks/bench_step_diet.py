@@ -47,6 +47,10 @@ VARIANTS = {
     "bn_bf16+remat": {"bn_compute_dtype": "compute", "remat": "blocks"},
     "remat_conv": {"remat": "conv"},
     "bn_bf16+remat_conv": {"bn_compute_dtype": "compute", "remat": "conv"},
+    # fused vocab head (ops/pallas_texthead.py): [B,L,V] logits stay in
+    # VMEM, backward recomputes them on the MXU
+    "texthead": {"fused_text_head": True},
+    "bn_bf16+texthead": {"bn_compute_dtype": "compute", "fused_text_head": True},
 }
 
 

@@ -260,6 +260,15 @@ class MopoeConfig:
     # trace-time platform check falls back to the XLA masked-sum path
     # elsewhere). Bit-identical outputs, ~20% faster flagship train step.
     use_pallas_fusion: bool = True
+    # fuse the word-text vocab head (1x1 conv → log_softmax → target
+    # gather) into one Pallas kernel inside the train/eval objective: the
+    # [B, L, vocab] logits stay in VMEM tiles and the backward recomputes
+    # them on the MXU (ops/pallas_texthead.py). ~2.3 GB/step less HBM
+    # traffic on the flagship. Only takes effect for word encoding with
+    # len_sequence 128 and the softmax last layer; the kernel accumulates
+    # the logits in float32 (slightly MORE precise than the unfused bf16
+    # path), hence opt-in rather than the parity default.
+    fused_text_head: bool = False
     # NB on BatchNorm under data parallelism: the reference's DDP computes
     # BN statistics per replica (no sync-BN). Under single-controller GSPMD
     # jit the batch mean/var are computed over the GLOBAL sharded batch —

@@ -255,7 +255,16 @@ class MMVae(nn.Module):
     # forward
     # ------------------------------------------------------------------
 
-    def __call__(self, batch: Mapping[str, jnp.ndarray], train: bool = True) -> Dict[str, Any]:
+    def __call__(
+        self,
+        batch: Mapping[str, jnp.ndarray],
+        train: bool = True,
+        text_prehead: bool = False,
+    ) -> Dict[str, Any]:
+        """``text_prehead=True`` makes the text decoder return its
+        pre-vocab-head features instead of log-softmax logits, for the
+        fused head+log-prob objective (cfg.fused_text_head; the train step
+        wraps the features together with the head params)."""
         cfg = self.config
         latents = self.inference(batch, train=train)
         div = self.joint_divergence(
@@ -272,7 +281,12 @@ class MMVae(nn.Module):
             if cfg.factorized_representation and cfg.style_dims[m]:
                 s_mu, s_lv = latents["styles"][m]
                 z_style = reparameterize(self.make_rng("reparam"), s_mu, s_lv)
-            rec[m] = self.decoders[m](z_class, z_style, train=train)
+            if m == "text" and text_prehead:
+                rec[m] = self.decoders[m](
+                    z_class, z_style, train=train, prehead=True
+                )
+            else:
+                rec[m] = self.decoders[m](z_class, z_style, train=train)
 
         return {
             "latents": latents,

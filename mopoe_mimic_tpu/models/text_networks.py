@@ -134,7 +134,15 @@ class DataGeneratorTextWord(nn.Module):
     remat: bool | str = False
 
     @nn.compact
-    def __call__(self, feats: jnp.ndarray, *, train: bool = True) -> jnp.ndarray:
+    def __call__(
+        self, feats: jnp.ndarray, *, train: bool = True, prehead: bool = False
+    ) -> jnp.ndarray:
+        """``prehead=True`` (word, len 128 only) returns the features
+        BEFORE the vocab head so the caller can fuse head + log-prob
+        (ops/pallas_texthead.py). The head conv's params are still
+        created/bound (via a 1-position dummy application that XLA
+        dead-code-eliminates) so the parameter tree is identical in both
+        modes — checkpoints are interchangeable."""
         kw = dict(a=_A, b=_B, dtype=self.dtype, param_dtype=self.param_dtype,
                   bn_eps=self.bn_eps, bn_dtype=self.bn_dtype)
         d = self.dim
@@ -154,7 +162,14 @@ class DataGeneratorTextWord(nn.Module):
             )(h)
         elif self.len_sequence == 128:
             h = Block(1 * d, 4, 2, 1, name="resblock_6", **kw)(h, train)
-            h = _conv(self.vocab_size, 1, 1, 0, True, self.dtype, self.param_dtype, "conv_out", 1)(h)
+            conv_out = _conv(
+                self.vocab_size, 1, 1, 0, True, self.dtype, self.param_dtype,
+                "conv_out", 1,
+            )
+            if prehead:
+                _ = conv_out(h[:, :1, :])  # bind params only; output unused
+                return h
+            h = conv_out(h)
         else:
             raise NotImplementedError(
                 f"len_sequence {self.len_sequence} unsupported (128 or >=512)"
@@ -228,7 +243,12 @@ class DecoderText(nn.Module):
         z_style: Optional[jnp.ndarray] = None,
         *,
         train: bool = True,
+        prehead: bool = False,
     ) -> jnp.ndarray:
+        if prehead and (self.text_encoding != "word" or self.len_sequence != 128):
+            raise NotImplementedError(
+                "prehead fusion requires word encoding with len_sequence 128"
+            )
         z = z_content if z_style is None else jnp.concatenate([z_style, z_content], axis=-1)
         feats = nn.Dense(
             5 * self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
@@ -246,4 +266,4 @@ class DecoderText(nn.Module):
             self.dtype, self.param_dtype, bn_eps=self.bn_eps,
             bn_dtype=self.bn_dtype, remat=self.remat,
             name="text_generator",
-        )(feats, train=train)
+        )(feats, train=train, prehead=prehead)

@@ -40,7 +40,21 @@ def modality_log_prob(
 ) -> jnp.ndarray:
     """log p(x_m | z), summed over all elements / batch_size."""
     if name == "text":
-        if cfg.text_encoding == "word":
+        from mopoe_mimic_tpu.ops.pallas_texthead import (
+            TextHeadInputs,
+            fused_text_logprob,
+        )
+
+        if isinstance(rec, TextHeadInputs):
+            # fused vocab head (cfg.fused_text_head): the [B, L, vocab]
+            # logits never leave VMEM; same value as the gather branch
+            # below (float32-accumulated)
+            target = jnp.squeeze(target, axis=-1) if target.ndim == 3 else target
+            lp = fused_text_logprob(
+                rec.h, rec.kernel, rec.bias, target.astype(jnp.int32),
+                interpret=jax.default_backend() == "cpu",
+            )
+        elif cfg.text_encoding == "word":
             # gather the target-token log-prob instead of materializing a
             # [B, L, vocab] one-hot (same OneHotCategorical value, ~59 MB
             # less HBM traffic per step at vocab 3517)

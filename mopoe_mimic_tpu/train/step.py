@@ -42,6 +42,33 @@ from mopoe_mimic_tpu.train.losses import (
 from mopoe_mimic_tpu.train.state import TrainState
 
 
+def _use_fused_text_head(cfg: MopoeConfig, batch) -> bool:
+    """cfg.fused_text_head applies only to the word/128/softmax head the
+    kernel implements (ops/pallas_texthead.py) and only when text is
+    present in the batch's (static) modality pattern."""
+    return (
+        cfg.fused_text_head
+        and "text" in batch
+        and cfg.text_encoding == "word"
+        and cfg.len_sequence == 128
+        and cfg.text_gen_lastlayer == "softmax"
+    )
+
+
+def _wrap_text_head(outs, params):
+    """Replace the text rec (pre-head features under text_prehead=True)
+    with the TextHeadInputs container carrying the vocab-head params, so
+    losses.modality_log_prob can run the fused kernel. Grads flow to the
+    head params through the container."""
+    from mopoe_mimic_tpu.ops.pallas_texthead import TextHeadInputs
+
+    head = params["decoder_text"]["text_generator"]["conv_out"]
+    outs["rec"]["text"] = TextHeadInputs(
+        outs["rec"]["text"], head["kernel"], head["bias"]
+    )
+    return outs
+
+
 def _forward_and_objective(
     cfg: MopoeConfig,
     model: MMVae,
@@ -58,15 +85,21 @@ def _forward_and_objective(
         k: (v.astype(jnp.float32) / 255.0 if v.dtype == jnp.uint8 else v)
         for k, v in batch.items()
     }
+    fused_text = _use_fused_text_head(cfg, batch)
     variables = {"params": params, "batch_stats": batch_stats}
     if train:
         outs, mut = model.apply(
-            variables, batch, train=True, rngs=rngs, mutable=["batch_stats"]
+            variables, batch, train=True, rngs=rngs, mutable=["batch_stats"],
+            text_prehead=fused_text,
         )
         new_batch_stats = mut["batch_stats"]
     else:
-        outs = model.apply(variables, batch, train=False, rngs=rngs)
+        outs = model.apply(
+            variables, batch, train=False, rngs=rngs, text_prehead=fused_text
+        )
         new_batch_stats = batch_stats
+    if fused_text:
+        outs = _wrap_text_head(outs, params)
 
     log_probs, weighted_lp = calc_log_probs(cfg, outs["rec"], batch)
     klds = calc_klds(cfg, outs["latents"]["subsets"])
@@ -82,11 +115,15 @@ def _forward_and_objective(
         # reference, each is a *full* forward with a single-modality batch.
         elbos = {}
         for m in batch:
+            fused_m = fused_text and m == "text"
             outs_m = model.apply(
                 variables, {m: batch[m]}, train=train, rngs=rngs,
                 mutable=["batch_stats"] if train else False,
+                text_prehead=fused_m,
             )
             outs_m = outs_m[0] if train else outs_m
+            if fused_m:
+                outs_m = _wrap_text_head(outs_m, params)
             rec_m = -modality_log_prob(cfg, m, outs_m["rec"][m], batch[m])
             elbos[m] = calc_elbo(cfg, m, {m: rec_m}, klds[m], klds_style)
         elbos["joint"] = calc_elbo(cfg, "joint", log_probs, group_div, klds_style)
