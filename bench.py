@@ -39,6 +39,11 @@ def main():
                     help="disable the pallas fusion kernel (ablation; it is "
                     "ON by default on TPU, a no-op elsewhere)")
     ap.add_argument("--fp32", action="store_true", help="float32 compute instead of bf16")
+    ap.add_argument("--parity", action="store_true",
+                    help="measure the reference-precision parity config "
+                    "(f32 BN outputs, unfused vocab head) instead of the "
+                    "default production diet (bn_compute_dtype=compute + "
+                    "fused_text_head; BENCH.md step-diet table)")
     ap.add_argument("--bn-dtype", default=None, choices=["float32", "compute"],
                     help="override cfg.bn_compute_dtype (byte-diet ablation; "
                     "see benchmarks/bench_step_diet.py)")
@@ -117,6 +122,12 @@ def main():
             batch_size=args.batch or (256 * n_chips if on_tpu else 16),
         )
 
+    # default = the production diet (BENCH.md step-diet table): bf16 BN
+    # outputs + the fused Pallas vocab head, +14% over the parity config
+    # at pinned-equal loss trajectory (tests/test_pallas_texthead.py).
+    # --parity measures the reference-precision configuration instead.
+    if not args.parity and not args.quick and not args.fp32:
+        cfg = cfg.replace(bn_compute_dtype="compute", fused_text_head=True)
     if args.uint8:
         cfg = cfg.replace(transfer_uint8=True)
     if args.bn_dtype:
@@ -238,8 +249,12 @@ def main():
     suffix += "_uint8" if args.uint8 else ""
     suffix += "_devstore" if args.device_store else ""
     suffix += "_perstep" if args.per_step else ""
+    suffix += "_parity" if args.parity else ""
     mode = ("scanned epoch (1 dispatch/window, on-device gather)"
             if scan_mode else "per-step dispatch")
+    mode += ("; parity config" if args.parity else
+             "; production diet (bn_bf16 + fused_text_head)"
+             if (not args.quick and not args.fp32) else "")
     print(json.dumps({
         "metric": f"train_samples_per_sec_per_chip_mopoe128{suffix}",
         "value": round(per_chip, 2),

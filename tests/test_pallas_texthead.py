@@ -151,6 +151,27 @@ def test_fused_head_train_step_matches_unfused():
     assert float(jnp.max(jnp.abs(k_after - k_init))) > 0.0
 
 
+def test_fused_head_under_scanned_epoch():
+    """The production path is one lax.scan per epoch (train/scan.py);
+    the fused kernel must trace/execute inside the scan body and match
+    the unfused scan's loss."""
+    from mopoe_mimic_tpu.data.device_store import DeviceStore
+    from mopoe_mimic_tpu.data.synthetic import SyntheticMimic
+    from mopoe_mimic_tpu.train.scan import epoch_index_matrix, make_train_epoch
+
+    losses = {}
+    for fused in (False, True):
+        cfg = _tiny_cfg(fused_text_head=fused, scan_epochs=True)
+        ds = SyntheticMimic(cfg, seed=0, length=8)
+        store = DeviceStore(ds, cfg)
+        state, _ = _state_and_batch(cfg)
+        train_epoch = make_train_epoch(cfg, store)
+        idx = epoch_index_matrix(store, epoch=0, batch_size=cfg.batch_size, seed=3)
+        _, metrics = train_epoch(state, store.cols, idx)
+        losses[fused] = float(metrics["total_loss"])
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-4)
+
+
 @pytest.mark.slow
 def test_fused_head_poe_method():
     from mopoe_mimic_tpu.train.step import make_train_step
