@@ -45,6 +45,10 @@ def main():
                     "the axon sitecustomize)")
     ap.add_argument("--sync-plots", action="store_true",
                     help="disable async plot rendering (profiling mode)")
+    ap.add_argument("--diet", action="store_true",
+                    help="train with the production byte-diet "
+                    "(bn_compute_dtype=compute + fused_text_head, the "
+                    "bench.py default config) instead of the parity config")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -91,6 +95,8 @@ def main():
         dir_data=args.store,
         dir_experiment=f"{args.workdir}/runs",
         dir_clf=f"{args.workdir}/clf",
+        **({"bn_compute_dtype": "compute", "fused_text_head": True}
+           if args.diet else {}),
     )
     t0 = time.time()
     exp = Experiment(cfg)

@@ -80,6 +80,15 @@ class CheckpointManager:
                 best_fn=_get_test_loss,
                 best_mode="min",
                 create=True,
+                # our own queue already provides save/train overlap; a
+                # second async layer inside orbax means _save_sync can
+                # return with the step UNCOMMITTED — a crash before the
+                # next wait_until_finished() then loses every pending
+                # step (orbax GCs uncommitted step dirs on reopen;
+                # observed: a 12-epoch run OOM-killed during final evals
+                # lost both its boundary checkpoints). Synchronous commit
+                # makes each queue item durable-on-completion.
+                enable_async_checkpointing=False,
             ),
         )
         self._queue: Optional[queue.Queue] = None

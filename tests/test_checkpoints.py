@@ -12,6 +12,26 @@ def _state(v: float):
     return {"params": {"w": np.full((3,), v, dtype=np.float32)}, "step": int(v)}
 
 
+def test_saves_are_durable_without_close(tmp_path):
+    """Each queued save must be COMMITTED once its queue item completes —
+    a crash after that point (no close/wait_until_finished) must not lose
+    the step. Regression: orbax's internal async layer under our queue
+    left steps uncommitted until the next sync point; a 65k run
+    OOM-killed during final evals lost both its boundary checkpoints to
+    orbax's uncommitted-step GC on reopen."""
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(9, _state(9.0), metrics={"test_loss": 5.0})
+    mgr.save(11, _state(11.0), metrics={"test_loss": 3.0})
+    mgr._queue.join()  # our queue drained — NOT orbax's sync point
+    # simulate a crash: abandon the manager without close(); a fresh
+    # manager (as serve.py / resume would build) must see both steps
+    fresh = CheckpointManager(str(tmp_path / "ck"))
+    assert sorted(fresh.all_epochs()) == [9, 11]
+    ep, restored = fresh.restore(_state(0.0), epoch=11)
+    assert ep == 11 and restored["params"]["w"][0] == 11.0
+    fresh.close()
+
+
 def test_plateau_never_evicts_best(tmp_path):
     mgr = CheckpointManager(str(tmp_path / "ck"), max_to_keep=2)
     # improving, then a long plateau of worse losses
