@@ -33,6 +33,7 @@ import os
 from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from mopoe_mimic_tpu.config import MopoeConfig
@@ -109,8 +110,14 @@ class InferenceSession:
             log.info(f"serving epoch {self.epoch} from {checkpoint_dir}")
         else:
             self.epoch = -1
-        self.params = state.params
-        self.batch_stats = state.batch_stats
+        # pin the weights ON DEVICE once: orbax restore returns host numpy,
+        # and host arrays as jit arguments re-upload per call — measured
+        # ~2 s/call of pure weight upload on the flagship (the same trap
+        # the eval suite hit; see ROADMAP round-3 "device-pinned weights").
+        # device_put is a no-op for arrays already on device (live-state
+        # sessions).
+        self.params = jax.device_put(state.params)
+        self.batch_stats = jax.device_put(state.batch_stats)
 
     # ------------------------------------------------------------------
 
@@ -128,18 +135,41 @@ class InferenceSession:
             yield done, take, self._bucket(take)
             done += take
 
-    def _fn(self, kind: str, n: int):
-        key = (kind, n)
+    def _fn(self, kind: str, n: int, compact: bool = False):
+        """``compact=True`` applies the wire diet to generated outputs ON
+        DEVICE: text probs → argmax token ids (download shrinks by the
+        vocab size — word 3517×, char 71×) and float images → uint8
+        (4×, lossless for PNG writers). Through a thin link the result
+        download dominates endpoint latency (benchmarks/bench_serve.py:
+        batch-64 generate moves ~140 MB full vs ~6 MB compact)."""
+        key = (kind, n, compact)
         if key not in self._jitted:
             model = self.model
 
+            def _diet(out):
+                if not compact:
+                    return out
+                out = dict(out)
+                for m, v in out.items():
+                    if m == "text":
+                        out[m] = jnp.argmax(v, axis=-1).astype(jnp.int32)
+                    else:
+                        out[m] = jnp.clip(
+                            v.astype(jnp.float32) * 255.0 + 0.5, 0, 255
+                        ).astype(jnp.uint8)
+                return out
+
             if kind == "generate":
-                def go(params, stats, r):
-                    return model.apply(
+                # seed travels as a scalar and becomes a key INSIDE the
+                # jitted program — a host-side PRNGKey/split is itself a
+                # device dispatch (multi-RTT) through the tunnel
+                def go(params, stats, seed, chunk):
+                    r = jax.random.fold_in(jax.random.PRNGKey(seed), chunk)
+                    return _diet(model.apply(
                         {"params": params, "batch_stats": stats}, n,
                         train=False, rngs={"reparam": r},
                         method=lambda m, k, train: m.generate(k, train=train),
-                    )
+                    ))
             elif kind == "encode":
                 def go(params, stats, batch):
                     def m_enc(m, b, train):
@@ -152,15 +182,18 @@ class InferenceSession:
                         method=m_enc,
                     )
             elif kind == "cond_generate":
-                def go(params, stats, batch, r):
+                def go(params, stats, batch, seed, chunk):
+                    r = jax.random.fold_in(jax.random.PRNGKey(seed), chunk)
+
                     def m_cond(m, b, train):
                         lat = m.inference(b, train=train)
                         return m.cond_generation(lat["subsets"], train=train)
 
-                    return model.apply(
+                    out = model.apply(
                         {"params": params, "batch_stats": stats}, batch,
                         train=False, rngs={"reparam": r}, method=m_cond,
                     )
+                    return {s: _diet(mods) for s, mods in out.items()}
             else:
                 raise ValueError(kind)
             self._jitted[key] = jax.jit(go)
@@ -170,14 +203,18 @@ class InferenceSession:
     # endpoints
     # ------------------------------------------------------------------
 
-    def generate(self, num_samples: int, seed: int = 0) -> Dict[str, np.ndarray]:
-        """Unconditional samples from the prior: modality → array."""
-        rng = jax.random.PRNGKey(seed)
+    def generate(
+        self, num_samples: int, seed: int = 0, compact: bool = False
+    ) -> Dict[str, np.ndarray]:
+        """Unconditional samples from the prior: modality → array.
+
+        ``compact=True`` returns text as int32 token ids and images as
+        uint8 (both converted on device) — the production wire format;
+        ``decode_text`` accepts either form."""
         outs = []
-        for _start, take, bucket in self._chunks(num_samples):
-            rng, r = jax.random.split(rng)
-            full = jax.device_get(self._fn("generate", bucket)(
-                self.params, self.batch_stats, r))
+        for chunk_i, (_start, take, bucket) in enumerate(self._chunks(num_samples)):
+            full = jax.device_get(self._fn("generate", bucket, compact)(
+                self.params, self.batch_stats, seed, chunk_i))
             outs.append({m: v[:take] for m, v in full.items()})
         return {m: np.concatenate([o[m] for o in outs]) for m in outs[0]}
 
@@ -197,19 +234,19 @@ class InferenceSession:
         return merged
 
     def cond_generate(
-        self, batch: Mapping[str, np.ndarray], seed: int = 0
+        self, batch: Mapping[str, np.ndarray], seed: int = 0,
+        compact: bool = False,
     ) -> Dict[str, Dict[str, np.ndarray]]:
         """Conditional generation from every subset posterior of the given
-        (full-modality) batch: subset_key → modality → array."""
+        (full-modality) batch: subset_key → modality → array.
+        ``compact`` as in :meth:`generate`."""
         n = len(next(iter(batch.values())))
-        rng = jax.random.PRNGKey(seed)
         merged: Optional[Dict[str, Any]] = None
-        for start, take, bucket in self._chunks(n):
-            rng, r = jax.random.split(rng)
+        for chunk_i, (start, take, bucket) in enumerate(self._chunks(n)):
             padded = {k: _pad_rows(np.asarray(v)[start:start + take], bucket)
                       for k, v in batch.items()}
-            out = jax.device_get(self._fn("cond_generate", bucket)(
-                self.params, self.batch_stats, padded, r))
+            out = jax.device_get(self._fn("cond_generate", bucket, compact)(
+                self.params, self.batch_stats, padded, seed, chunk_i))
             out = jax.tree_util.tree_map(lambda a: a[:take], out)
             merged = out if merged is None else jax.tree_util.tree_map(
                 lambda a, b: np.concatenate([a, b]), merged, out)
@@ -340,13 +377,16 @@ class InferenceSession:
         ])
 
     def decode_text(self, probs: np.ndarray, i2w=None) -> list:
-        """Generated text probabilities → strings (char) or token lists
-        (word; needs the vocab's i2w unless provided)."""
+        """Generated text probabilities OR compact int token ids →
+        strings (char) / token lists (word; needs the vocab's i2w unless
+        provided)."""
         from mopoe_mimic_tpu.data.text_codec import tensor_to_text
 
         cfg = self.cfg
+        probs = np.asarray(probs)
+        one_hot = not np.issubdtype(probs.dtype, np.integer)
         if cfg.text_encoding == "char":
-            rows = tensor_to_text(np.asarray(probs), one_hot=True)
+            rows = tensor_to_text(probs, one_hot=one_hot)
             return ["".join(r) for r in rows]
         if i2w is None:
             from mopoe_mimic_tpu.data.vocab import Vocab
@@ -358,7 +398,7 @@ class InferenceSession:
             if vocab is None:
                 raise FileNotFoundError("word-mode decode needs the vocab (i2w)")
             i2w = vocab.i2w
-        return tensor_to_text(np.asarray(probs), one_hot=True, i2w=i2w)
+        return tensor_to_text(probs, one_hot=one_hot, i2w=i2w)
 
 
 def load_exported(artifact_dir: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:

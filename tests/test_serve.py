@@ -45,6 +45,28 @@ def test_generate_chunks_across_buckets(session):
     assert np.abs(out["PA"] - out2["PA"]).max() > 0
 
 
+def test_compact_wire_matches_full(session):
+    """compact=True = on-device argmax text ids + uint8 images; must be
+    the argmax / 255-quantization of the full-precision outputs for the
+    same seed, and decode_text must accept the id form."""
+    sess, _ = session
+    full = sess.generate(num_samples=4, seed=3)
+    compact = sess.generate(num_samples=4, seed=3, compact=True)
+    assert compact["text"].dtype == np.int32
+    np.testing.assert_array_equal(
+        compact["text"], np.argmax(full["text"], axis=-1))
+    for m in ("PA", "Lateral"):
+        assert compact[m].dtype == np.uint8
+        want = np.clip(full[m] * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(compact[m], want)
+    # cond_generate honors the same wire format
+    cg = sess.cond_generate(
+        {k: v[:2] for k, v in session[1].items()}, seed=1, compact=True)
+    any_subset = next(iter(cg.values()))
+    assert any_subset["text"].dtype == np.int32
+    assert any_subset["PA"].dtype == np.uint8
+
+
 def test_encode_pads_and_slices(session):
     sess, batch = session
     small = {k: np.asarray(v)[:3] for k, v in batch.items()}  # pads to 4
@@ -155,9 +177,10 @@ def test_export_roundtrip_matches_live_session(tmp_path, session):
     fns, manifest = load_exported(out_dir)
     assert manifest["bucket"] == 2
 
-    key = np.asarray(jax.random.PRNGKey(7), np.uint32)
-    live = sess._fn("generate", 2)(sess.params, sess.batch_stats,
-                                   jax.random.PRNGKey(7))
+    # the live endpoint derives its key as fold_in(PRNGKey(seed), chunk)
+    # inside the jitted program; feed the artifact the same key
+    key = np.asarray(jax.random.fold_in(jax.random.PRNGKey(7), 0), np.uint32)
+    live = sess._fn("generate", 2)(sess.params, sess.batch_stats, 7, 0)
     art = fns["generate"](key)
     for m in live:
         np.testing.assert_allclose(np.asarray(art[m]), np.asarray(live[m]),
