@@ -432,6 +432,10 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     ap.add_argument("--epoch", type=int, default=None)
     ap.add_argument("--bucket", type=int, default=None,
                     help="static batch size for --mode export")
+    ap.add_argument("--compact", action="store_true",
+                    help="production wire format: on-device text argmax "
+                    "(saved as text_ids.npy) + uint8 images — shrinks the "
+                    "device download ~20x on the flagship")
     ap.add_argument("--out", default=None, help="output dir (default: run_dir/serving)")
     args = ap.parse_args(argv)
 
@@ -442,12 +446,13 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         paths = sess.export(out_dir, bucket=args.bucket)
         log.info(f"exported {sorted(paths)} to {out_dir}")
         return
-    samples = sess.generate(args.num_samples, seed=args.seed)
+    samples = sess.generate(args.num_samples, seed=args.seed, compact=args.compact)
     from mopoe_mimic_tpu.utils.save_samples import write_samples_img_to_file
 
     for m, data in samples.items():
         if m == "text":
-            np.save(os.path.join(out_dir, "text_probs.npy"), data)
+            name = "text_ids.npy" if args.compact else "text_probs.npy"
+            np.save(os.path.join(out_dir, name), data)
         else:
             write_samples_img_to_file(data, os.path.join(out_dir, f"{m}.png"))
     log.info(f"wrote {args.num_samples} samples to {out_dir}")

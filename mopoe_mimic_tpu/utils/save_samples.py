@@ -13,10 +13,14 @@ import numpy as np
 
 
 def write_samples_img_to_file(images: np.ndarray, fn: str, img_per_row: int = 8) -> None:
-    """[N, H, W, C] floats in [0,1] → one PNG grid."""
+    """[N, H, W, C] floats in [0,1] — or uint8 in [0,255] (the compact
+    serving wire format) — → one PNG grid."""
     from mopoe_mimic_tpu.utils.plotting import _to_grid
 
-    grid = _to_grid(np.asarray(images), per_row=img_per_row)
+    images = np.asarray(images)
+    if images.dtype == np.uint8:
+        images = images.astype(np.float32) / 255.0
+    grid = _to_grid(images, per_row=img_per_row)
     try:
         from PIL import Image
 

@@ -143,6 +143,16 @@ def test_serve_cli_end_to_end(tmp_path):
     assert "text_probs.npy" in wrote
     assert any(f.startswith("PA.") for f in wrote)
 
+    serve.main([
+        "--run_dir", run_dir, "--num_samples", "4", "--compact",
+        "--out", str(tmp_path / "samples_compact"),
+    ])
+    wrote = os.listdir(tmp_path / "samples_compact")
+    assert "text_ids.npy" in wrote
+    import numpy as np
+    assert np.load(tmp_path / "samples_compact" / "text_ids.npy").dtype == np.int32
+    assert any(f.startswith("PA.") for f in wrote)
+
 
 def test_text_array_and_decode_char(session):
     sess, _ = session
