@@ -89,6 +89,8 @@ def main():
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--group", action="store_true")
     ap.add_argument("--bn_bf16", action="store_true")
+    ap.add_argument("--fused_text_head", action="store_true")
+    ap.add_argument("--fused_pointwise", action="store_true")
     ap.add_argument("--dump", default=None, help="write full HLO text here")
     args = ap.parse_args()
 
@@ -106,6 +108,8 @@ def main():
         batch_size=args.batch, donate_state=on_tpu, use_pallas_fusion=on_tpu,
         initial_learning_rate=1e-4,
         **({"bn_compute_dtype": "compute"} if args.bn_bf16 else {}),
+        **({"fused_text_head": True} if args.fused_text_head else {}),
+        **({"fused_pointwise": True} if args.fused_pointwise else {}),
     )
     mesh = make_mesh(cfg)
     ds = SyntheticMimic(cfg, seed=0, length=cfg.batch_size)

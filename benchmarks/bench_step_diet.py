@@ -51,6 +51,14 @@ VARIANTS = {
     # VMEM, backward recomputes them on the MXU
     "texthead": {"fused_text_head": True},
     "bn_bf16+texthead": {"bn_compute_dtype": "compute", "fused_text_head": True},
+    # fused BN→ReLU→1×1-conv heads (ops/pallas_pointwise.py): the blocks'
+    # opening pointwise conv becomes a Pallas matmul with the BN/ReLU
+    # prologue in VMEM; the custom VJP recomputes instead of saving
+    "pointwise": {"fused_pointwise": True},
+    "bn_bf16+texthead+pointwise": {
+        "bn_compute_dtype": "compute", "fused_text_head": True,
+        "fused_pointwise": True,
+    },
 }
 
 

@@ -269,6 +269,15 @@ class MopoeConfig:
     # the logits in float32 (slightly MORE precise than the unfused bf16
     # path), hence opt-in rather than the parity default.
     fused_text_head: bool = False
+    # Compute every residual block's opening BN → ReLU → 1×1 conv as one
+    # Pallas kernel in train mode (ops/pallas_pointwise.py): a pointwise
+    # conv IS a matmul, so the BN/ReLU activations XLA would otherwise
+    # materialize for the conv custom-call (and save for its backward)
+    # never touch HBM; the custom VJP recomputes them in VMEM tiles and
+    # implements the full train-mode BatchNorm backward. f32 normalize +
+    # f32 matmul accumulation ≈ parity numerics (not bitwise) — opt-in
+    # production knob like fused_text_head. Parameter tree unchanged.
+    fused_pointwise: bool = False
     # NB on BatchNorm under data parallelism: the reference's DDP computes
     # BN statistics per replica (no sync-BN). Under single-controller GSPMD
     # jit the batch mean/var are computed over the GLOBAL sharded batch —

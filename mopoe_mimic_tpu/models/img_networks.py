@@ -44,6 +44,7 @@ class FeatureExtractorImg(nn.Module):
     bn_eps: float = 1e-5
     bn_dtype: Optional[jnp.dtype] = None
     remat: bool | str = False
+    fused_pointwise: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = True) -> jnp.ndarray:
@@ -52,7 +53,8 @@ class FeatureExtractorImg(nn.Module):
             raise NotImplementedError(f"img_size {self.img_size} unsupported")
         kw = dict(a=_A, b=_B, use_conv_bias=False, channelwise_dropout=True,
                   dtype=self.dtype, param_dtype=self.param_dtype,
-                  bn_eps=self.bn_eps, bn_dtype=self.bn_dtype)
+                  bn_eps=self.bn_eps, bn_dtype=self.bn_dtype,
+                  fused_pointwise=self.fused_pointwise)
         d = self.dim
         Block = maybe_remat(ResidualBlockConv, self.remat)
         h = _conv(d, 3, 2, 1, False, self.dtype, self.param_dtype, "conv1", 2)(x)
@@ -79,13 +81,15 @@ class DataGeneratorImg(nn.Module):
     bn_eps: float = 1e-5
     bn_dtype: Optional[jnp.dtype] = None
     remat: bool | str = False
+    fused_pointwise: bool = False
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, *, train: bool = True) -> jnp.ndarray:
         """feats: [B, 1, 1, 5·dim] → [B, img_size, img_size, image_channels]."""
         kw = dict(a=_A, b=_B, use_conv_bias=False, channelwise_dropout=True,
                   dtype=self.dtype, param_dtype=self.param_dtype,
-                  bn_eps=self.bn_eps, bn_dtype=self.bn_dtype)
+                  bn_eps=self.bn_eps, bn_dtype=self.bn_dtype,
+                  fused_pointwise=self.fused_pointwise)
         d = self.dim
         Block = maybe_remat(ResidualBlockTransposeConv, self.remat)
         h = Block(4 * d, 4, 1, 0, name="resblock_1", **kw)(feats, train)
@@ -121,6 +125,7 @@ class EncoderImg(nn.Module):
     bn_eps: float = 1e-5
     bn_dtype: Optional[jnp.dtype] = None
     remat: bool | str = False
+    fused_pointwise: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = True):
@@ -135,6 +140,7 @@ class EncoderImg(nn.Module):
             h = FeatureExtractorImg(
                 self.dim, self.img_size, self.dtype, self.param_dtype,
                 bn_eps=self.bn_eps, bn_dtype=self.bn_dtype, remat=self.remat,
+                fused_pointwise=self.fused_pointwise,
                 name="feature_extractor",
             )(x, train=train)
         else:
@@ -159,6 +165,7 @@ class DecoderImg(nn.Module):
     bn_eps: float = 1e-5
     bn_dtype: Optional[jnp.dtype] = None
     remat: bool | str = False
+    fused_pointwise: bool = False
 
     FIXED_SCALE: float = 0.75
 
@@ -179,5 +186,6 @@ class DecoderImg(nn.Module):
         return DataGeneratorImg(
             self.dim, self.img_size, self.image_channels, self.dtype,
             self.param_dtype, bn_eps=self.bn_eps, bn_dtype=self.bn_dtype,
-            remat=self.remat, name="img_generator",
+            remat=self.remat, fused_pointwise=self.fused_pointwise,
+            name="img_generator",
         )(feats, train=train)

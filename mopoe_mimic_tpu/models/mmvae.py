@@ -80,6 +80,7 @@ class MMVae(nn.Module):
                     bn_eps=cfg.bn_eps,
                     bn_dtype=bn_dtype,
                     remat=remat,
+                    fused_pointwise=cfg.fused_pointwise,
                     name=f"encoder_{m}",
                 )
                 decoders[m] = DecoderText(
@@ -97,6 +98,7 @@ class MMVae(nn.Module):
                     bn_eps=cfg.bn_eps,
                     bn_dtype=bn_dtype,
                     remat=remat,
+                    fused_pointwise=cfg.fused_pointwise,
                     name=f"decoder_{m}",
                 )
             else:
@@ -112,6 +114,7 @@ class MMVae(nn.Module):
                     bn_eps=cfg.bn_eps,
                     bn_dtype=bn_dtype,
                     remat=remat,
+                    fused_pointwise=cfg.fused_pointwise,
                     name=f"encoder_{m}",
                 )
                 decoders[m] = DecoderImg(
@@ -125,6 +128,7 @@ class MMVae(nn.Module):
                     bn_eps=cfg.bn_eps,
                     bn_dtype=bn_dtype,
                     remat=remat,
+                    fused_pointwise=cfg.fused_pointwise,
                     name=f"decoder_{m}",
                 )
         self.encoders = encoders

@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from jax import lax
 from jax.ad_checkpoint import checkpoint_name
 
+from mopoe_mimic_tpu.ops.pallas_pointwise import fused_bn_relu_pointwise
+
 
 class TorchConvTranspose(nn.Module):
     """Transposed convolution with torch ConvTranspose{1,2}d shape semantics.
@@ -93,6 +95,49 @@ def _conv(features, k, s, p, use_bias, dtype, param_dtype, name=None, rank=2):
     )
 
 
+class _BNVars(nn.Module):
+    """Raw BatchNorm parameters/variables with ``nn.BatchNorm``'s exact
+    tree (params: scale/bias in param_dtype; batch_stats: mean/var in
+    float32) so the fused head (cfg.fused_pointwise) keeps checkpoint and
+    torch-importer compatibility with the unfused ``bn1`` module."""
+
+    features: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        f = (self.features,)
+        scale = self.param("scale", nn.initializers.ones, f, self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, f, self.param_dtype)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), f)
+        ra_var = self.variable(
+            "batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), f)
+        return scale, bias, ra_mean, ra_var
+
+
+class _ConvVars(nn.Module):
+    """Raw pointwise-conv parameters with ``nn.Conv``/``TorchConvTranspose``'s
+    exact tree (kernel (1,)*spatial + (Cin, Cout) he_normal; optional zeros
+    bias) for the fused head."""
+
+    features: int
+    spatial: int
+    use_bias: bool
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        shape = (1,) * self.spatial + (self.features, self.features)
+        kernel = self.param(
+            "kernel", nn.initializers.he_normal(), shape, self.param_dtype)
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+        return kernel, bias
+
+
 class _BlockBase(nn.Module):
     """Shared body of the residual blocks."""
 
@@ -117,6 +162,12 @@ class _BlockBase(nn.Module):
     # promoted to float32 inside flax regardless, so bf16 here only thins
     # the activation traffic, not the stat accumulation.
     bn_dtype: Optional[jnp.dtype] = None
+    # cfg.fused_pointwise: compute the block's opening BN → ReLU → 1×1 conv
+    # as one Pallas kernel (ops/pallas_pointwise.py) in train mode, removing
+    # the materialized BN/ReLU activations from HBM traffic. Same param
+    # tree; f32 normalize + f32 matmul accumulation (≈ parity numerics,
+    # not bitwise — opt-in like cfg.fused_text_head).
+    fused_pointwise: bool = False
 
     def _bn(self, name: str) -> nn.BatchNorm:
         # torch BatchNorm defaults: eps=1e-5, running-stat momentum 0.1
@@ -138,6 +189,40 @@ class _BlockBase(nn.Module):
             rate=self.dropout_rate, broadcast_dims=broadcast
         )(x, deterministic=deterministic)
 
+    def _fused_head(self, x, det, spatial):
+        """bn1 → relu → conv1 via the fused Pallas op (train) or the
+        running-stats composition (eval — not byte-critical, and the fused
+        op's batch statistics don't apply)."""
+        feat = x.shape[-1]
+        scale, bias, ra_mean, ra_var = _BNVars(
+            feat, self.param_dtype, name="bn1")()
+        kernel, cbias = _ConvVars(
+            feat, spatial, self.use_conv_bias, self.param_dtype, name="conv1")()
+        if det:
+            # flax _normalize semantics with running stats, then the
+            # pointwise conv in the compute dtype (nn.Conv's casts)
+            inv = lax.rsqrt(ra_var.value + self.bn_eps)
+            h = (x - ra_mean.value) * (inv * scale) + bias
+            h = nn.relu(h.astype(self.bn_dtype or jnp.float32))
+            y = jnp.tensordot(
+                h.astype(self.dtype),
+                kernel.reshape(feat, feat).astype(self.dtype),
+                axes=([x.ndim - 1], [0]),
+            )
+            if cbias is not None:
+                y = y + cbias.astype(self.dtype)
+            return y
+        y, mean, var = fused_bn_relu_pointwise(
+            x, scale, bias, kernel, cbias, self.bn_eps,
+            compute_dtype=self.dtype,
+            interpret=jax.default_backend() == "cpu",
+        )
+        if not self.is_initializing():
+            # nn.BatchNorm running-stat update, momentum 0.9
+            ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
+            ra_var.value = 0.9 * ra_var.value + 0.1 * var
+        return y
+
 
 class ResidualBlockConv(_BlockBase):
     """Downsampling residual block (ResidualBlock{1d,2d}Conv)."""
@@ -151,9 +236,12 @@ class ResidualBlockConv(_BlockBase):
         # Python bool under tracing.
         spatial = x.ndim - 2
         det = not train
-        h = self._bn("bn1")(x, use_running_average=det)
-        h = nn.relu(h)
-        h = _conv(x.shape[-1], 1, 1, 0, self.use_conv_bias, self.dtype, self.param_dtype, "conv1", spatial)(h)
+        if self.fused_pointwise:
+            h = self._fused_head(x, det, spatial)
+        else:
+            h = self._bn("bn1")(x, use_running_average=det)
+            h = nn.relu(h)
+            h = _conv(x.shape[-1], 1, 1, 0, self.use_conv_bias, self.dtype, self.param_dtype, "conv1", spatial)(h)
         h = checkpoint_name(h, "conv_out")
         h = self._dropout(h, det, spatial)
         h = self._bn("bn2")(h, use_running_average=det)
@@ -185,12 +273,16 @@ class ResidualBlockTransposeConv(_BlockBase):
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         spatial = x.ndim - 2
         det = not train
-        h = self._bn("bn1")(x, use_running_average=det)
-        h = nn.relu(h)
-        h = TorchConvTranspose(
-            x.shape[-1], 1, 1, 0, 0, self.use_conv_bias, self.dtype, self.param_dtype,
-            name="conv1",
-        )(h)
+        if self.fused_pointwise:
+            # a k1/s1/p0 transpose conv IS the same pointwise matmul
+            h = self._fused_head(x, det, spatial)
+        else:
+            h = self._bn("bn1")(x, use_running_average=det)
+            h = nn.relu(h)
+            h = TorchConvTranspose(
+                x.shape[-1], 1, 1, 0, 0, self.use_conv_bias, self.dtype, self.param_dtype,
+                name="conv1",
+            )(h)
         h = checkpoint_name(h, "conv_out")
         h = self._dropout(h, det, spatial)
         h = self._bn("bn2")(h, use_running_average=det)

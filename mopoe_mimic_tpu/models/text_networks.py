@@ -43,12 +43,14 @@ class FeatureExtractorTextChar(nn.Module):
     bn_eps: float = 1e-5
     bn_dtype: Optional[jnp.dtype] = None
     remat: bool | str = False
+    fused_pointwise: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = True) -> jnp.ndarray:
         """x: [B, 1024, num_features] one-hot → [B, 5·dim]."""
         kw = dict(a=_A, b=_B, dtype=self.dtype, param_dtype=self.param_dtype,
-                  bn_eps=self.bn_eps, bn_dtype=self.bn_dtype)
+                  bn_eps=self.bn_eps, bn_dtype=self.bn_dtype,
+                  fused_pointwise=self.fused_pointwise)
         d = self.dim
         Block = maybe_remat(ResidualBlockConv, self.remat)
         h = _conv(d, 4, 2, 1, True, self.dtype, self.param_dtype, "conv1", 1)(x)
@@ -67,12 +69,14 @@ class DataGeneratorTextChar(nn.Module):
     bn_eps: float = 1e-5
     bn_dtype: Optional[jnp.dtype] = None
     remat: bool | str = False
+    fused_pointwise: bool = False
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, *, train: bool = True) -> jnp.ndarray:
         """feats: [B, 1, 5·dim] → log-softmax logits [B, 1024, num_features]."""
         kw = dict(a=_A, b=_B, dtype=self.dtype, param_dtype=self.param_dtype,
-                  bn_eps=self.bn_eps, bn_dtype=self.bn_dtype)
+                  bn_eps=self.bn_eps, bn_dtype=self.bn_dtype,
+                  fused_pointwise=self.fused_pointwise)
         d = self.dim
         Block = maybe_remat(ResidualBlockTransposeConv, self.remat)
         h = Block(5 * d, 4, 1, 0, name="resblock_1", **kw)(feats, train)
@@ -95,12 +99,14 @@ class FeatureExtractorTextWord(nn.Module):
     bn_eps: float = 1e-5
     bn_dtype: Optional[jnp.dtype] = None
     remat: bool | str = False
+    fused_pointwise: bool = False
 
     @nn.compact
     def __call__(self, ids: jnp.ndarray, *, train: bool = True) -> jnp.ndarray:
         """ids: [B, L] int → [B, 5·dim]."""
         kw = dict(a=_A, b=_B, dtype=self.dtype, param_dtype=self.param_dtype,
-                  bn_eps=self.bn_eps, bn_dtype=self.bn_dtype)
+                  bn_eps=self.bn_eps, bn_dtype=self.bn_dtype,
+                  fused_pointwise=self.fused_pointwise)
         d = self.dim
         ids = ids.astype(jnp.int32)
         emb = nn.Embed(
@@ -132,6 +138,7 @@ class DataGeneratorTextWord(nn.Module):
     bn_eps: float = 1e-5
     bn_dtype: Optional[jnp.dtype] = None
     remat: bool | str = False
+    fused_pointwise: bool = False
 
     @nn.compact
     def __call__(
@@ -144,7 +151,8 @@ class DataGeneratorTextWord(nn.Module):
         dead-code-eliminates) so the parameter tree is identical in both
         modes — checkpoints are interchangeable."""
         kw = dict(a=_A, b=_B, dtype=self.dtype, param_dtype=self.param_dtype,
-                  bn_eps=self.bn_eps, bn_dtype=self.bn_dtype)
+                  bn_eps=self.bn_eps, bn_dtype=self.bn_dtype,
+                  fused_pointwise=self.fused_pointwise)
         d = self.dim
         Block = maybe_remat(ResidualBlockTransposeConv, self.remat)
         h = Block(5 * d, 4, 1, 0, name="resblock_1", **kw)(feats, train)
@@ -197,6 +205,7 @@ class EncoderText(nn.Module):
     bn_eps: float = 1e-5
     bn_dtype: Optional[jnp.dtype] = None
     remat: bool | str = False
+    fused_pointwise: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = True):
@@ -204,13 +213,15 @@ class EncoderText(nn.Module):
             h = FeatureExtractorTextChar(
                 self.dim, self.dtype, self.param_dtype,
                 bn_eps=self.bn_eps, bn_dtype=self.bn_dtype, remat=self.remat,
+                fused_pointwise=self.fused_pointwise,
                 name="feature_extractor",
             )(x, train=train)
         elif self.text_encoding == "word":
             h = FeatureExtractorTextWord(
                 self.dim, self.vocab_size, self.len_sequence, self.dtype,
                 self.param_dtype, bn_eps=self.bn_eps, bn_dtype=self.bn_dtype,
-                remat=self.remat, name="feature_extractor",
+                remat=self.remat, fused_pointwise=self.fused_pointwise,
+                name="feature_extractor",
             )(x, train=train)
         else:
             raise NotImplementedError(self.text_encoding)
@@ -235,6 +246,7 @@ class DecoderText(nn.Module):
     bn_eps: float = 1e-5
     bn_dtype: Optional[jnp.dtype] = None
     remat: bool | str = False
+    fused_pointwise: bool = False
 
     @nn.compact
     def __call__(
@@ -259,11 +271,13 @@ class DecoderText(nn.Module):
             return DataGeneratorTextChar(
                 self.dim, self.num_features, self.dtype, self.param_dtype,
                 bn_eps=self.bn_eps, bn_dtype=self.bn_dtype, remat=self.remat,
+                fused_pointwise=self.fused_pointwise,
                 name="text_generator",
             )(feats, train=train)
         return DataGeneratorTextWord(
             self.dim, self.num_features, self.len_sequence, self.last_layer,
             self.dtype, self.param_dtype, bn_eps=self.bn_eps,
             bn_dtype=self.bn_dtype, remat=self.remat,
+            fused_pointwise=self.fused_pointwise,
             name="text_generator",
         )(feats, train=train, prehead=prehead)
