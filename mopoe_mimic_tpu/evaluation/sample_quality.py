@@ -24,7 +24,7 @@ TPU-first deviations (documented):
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import numpy as np
 
@@ -39,7 +39,15 @@ def activation_statistics(acts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return mu, np.atleast_2d(sigma)
 
 
-def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
+def _psd_sqrt(sigma: np.ndarray) -> np.ndarray:
+    """Symmetric PSD square root via eigh (negative numerical-noise
+    eigenvalues clipped)."""
+    w, v = np.linalg.eigh(sigma)
+    return (v * np.sqrt(np.clip(w, 0.0, None))) @ v.T
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6,
+                     sigma1_sqrt: Optional[np.ndarray] = None) -> float:
     """FID between two Gaussians fitted to activation sets.
 
     tr√(Σ₁Σ₂) is computed with two symmetric eigendecompositions instead
@@ -49,10 +57,13 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
     faster than sqrtm's complex Schur form, which at the 640-dim
     embedder cost ~10 s per (subset, modality) pair on a 1-core host and
     dominated the recurring eval round (and went singular → a second
-    sqrtm). Negative eigenvalues from numerical noise are clipped."""
+    sqrtm). Negative eigenvalues from numerical noise are clipped.
+
+    ``sigma1_sqrt`` lets callers that score many eval sets against ONE
+    reference set (calc_prd_score: 8 subsets × each real modality) pay
+    the √Σ₁ eigh once instead of per pair."""
     diff = mu1 - mu2
-    w1, v1 = np.linalg.eigh(sigma1)
-    s1_half = (v1 * np.sqrt(np.clip(w1, 0.0, None))) @ v1.T
+    s1_half = _psd_sqrt(sigma1) if sigma1_sqrt is None else sigma1_sqrt
     m = s1_half @ sigma2 @ s1_half
     wm = np.linalg.eigvalsh(m)
     tr_covmean = float(np.sum(np.sqrt(np.clip(wm, 0.0, None))))
@@ -78,14 +89,22 @@ def compute_prd(ref_hist: np.ndarray, eval_hist: np.ndarray, num_angles: int = 1
     return np.clip(precision, 0, 1), np.clip(recall, 0, 1)
 
 
-def _kmeans_labels_batched(X: np.ndarray, num_clusters: int, num_runs: int,
-                           seed: int, iters: int = 25) -> np.ndarray:
-    """[R, N] cluster labels for R independent k-means restarts, computed
-    as ONE jitted XLA program (k-means++ init via the Gumbel trick, then
-    Lloyd iterations; distances as a single matmul so the MXU does the
-    work). Replaces sklearn's per-restart host loop — the 10-restart ×
-    ~22-pair PRD pass was the dominant host cost of an eval round
-    (147-195 s, RESULTS_r2_devstore; VERDICT r2 #3)."""
+_KMEANS_RUN = None  # lazily-built persistent jit — see _kmeans_labels_batched
+
+
+def _kmeans_run():
+    """The batched k-means program as ONE persistent ``jax.jit`` instance.
+
+    jit caching is per wrapper object: building a fresh ``@jax.jit`` on
+    every call (the original shape of this code) re-traces and re-lowers
+    the whole program each time — measured 2.3 s per call through the
+    axon tunnel vs 0.03 s for a persistent instance at rehearsal scale
+    ([4476, 640], 10 restarts), × ~16 (subset, modality) pairs per eval
+    round. One module-level instance compiles once per (shape, k, R)
+    and then every pair/round is a pure execution."""
+    global _KMEANS_RUN
+    if _KMEANS_RUN is not None:
+        return _KMEANS_RUN
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -138,15 +157,43 @@ def _kmeans_labels_batched(X: np.ndarray, num_clusters: int, num_runs: int,
 
         return jax.vmap(one)(keys)
 
+    _KMEANS_RUN = run
+    return run
+
+
+def _kmeans_labels_batched(X, num_clusters: int, num_runs: int,
+                           seed: int, iters: int = 25) -> np.ndarray:
+    """[R, N] cluster labels for R independent k-means restarts, computed
+    as ONE jitted XLA program (k-means++ init via the Gumbel trick, then
+    Lloyd iterations; distances as a single matmul so the MXU does the
+    work). Replaces sklearn's per-restart host loop — the 10-restart ×
+    ~22-pair PRD pass was the dominant host cost of an eval round
+    (147-195 s, RESULTS_r2_devstore; VERDICT r2 #3). ``X`` may be a host
+    numpy array or an already-device-resident jax array (the fused PRD
+    path keeps activations on device — no re-upload)."""
+    import jax
+    import jax.numpy as jnp
+
     keys = jax.random.split(jax.random.PRNGKey(seed), num_runs)
-    labels = run(jnp.asarray(X, jnp.float32), keys, num_clusters, iters)
+    labels = _kmeans_run()(jnp.asarray(X, jnp.float32), keys, num_clusters, iters)
     return np.asarray(labels)
+
+
+def _concat_like(eval_data, ref_data):
+    """Concatenate two activation sets without forcing a device→host or
+    host→device copy: jax inputs concatenate on device (the fused PRD
+    path keeps activations resident), numpy inputs stay on host."""
+    if isinstance(eval_data, np.ndarray) and isinstance(ref_data, np.ndarray):
+        return np.concatenate([eval_data, ref_data])
+    import jax.numpy as jnp
+
+    return jnp.concatenate([jnp.asarray(eval_data), jnp.asarray(ref_data)])
 
 
 def cluster_into_bins(eval_data: np.ndarray, ref_data: np.ndarray,
                       num_clusters: int, seed: int) -> Tuple[np.ndarray, np.ndarray]:
     """Cluster the union, histogram each set over cluster ids."""
-    both = np.concatenate([eval_data, ref_data])
+    both = _concat_like(eval_data, ref_data)
     # tiny sample sets (smoke evals) can't support the canonical 20 bins
     num_clusters = min(num_clusters, max(2, len(both) // 4))
     labels = _kmeans_labels_batched(both, num_clusters, num_runs=1, seed=seed)[0]
@@ -162,7 +209,7 @@ def compute_prd_from_embedding(eval_data: np.ndarray, ref_data: np.ndarray,
     arbitrary per run, so histograms must not be averaged across runs).
     All restarts run inside one jitted program; only the [R, N] label
     matrix comes back to the host."""
-    both = np.concatenate([eval_data, ref_data])
+    both = _concat_like(eval_data, ref_data)
     num_clusters = min(num_clusters, max(2, len(both) // 4))
     labels = _kmeans_labels_batched(both, num_clusters, num_runs, seed)
     n_eval = len(eval_data)
@@ -301,8 +348,12 @@ def calc_prd_score(
         n_seen += int(batch[img_mods[0]].shape[0])
         rng, r1, r2 = jax.random.split(rng, 3)
         if fused is not None:
-            real, gen_all = jax.device_get(
-                fused(state.params, state.batch_stats, embed_vars, batch, r1, r2)
+            # keep the per-batch activations ON DEVICE: k-means consumes
+            # them resident (re-uploading [N, D] per pair cost ~2 s/pair
+            # through the tunnel); only FID's moment fits pull them home,
+            # once per set, below
+            real, gen_all = fused(
+                state.params, state.batch_stats, embed_vars, batch, r1, r2
             )
             for m in img_mods:
                 real_acts_parts[m].append(real[m])
@@ -321,11 +372,20 @@ def calc_prd_score(
             for m in img_mods:
                 slot[m].append(np.nan_to_num(embed_fn(jnp.nan_to_num(gen[m]))))
 
+    concat = jnp.concatenate if fused is not None else np.concatenate
     results = {}
     for m in img_mods:
-        real_acts = np.concatenate(real_acts_parts[m])
+        real_acts = concat(real_acts_parts[m])
+        # FID moment fits are host math; the real-side stats (and the
+        # √Σ eigh) are shared by every subset scored against this modality
+        real_host = np.asarray(jax.device_get(real_acts))
+        mu_r, sig_r = activation_statistics(real_host)
+        sig_r_sqrt = _psd_sqrt(sig_r)
         for s_key, parts in gen_acts_parts.items():
-            gen_acts = np.concatenate(parts[m])
+            gen_acts = concat(parts[m])
             results[f"prd_{m}_{s_key}"] = average_prd(gen_acts, real_acts)
-            results[f"fid_{m}_{s_key}"] = calculate_fid(real_acts, gen_acts)
+            mu_g, sig_g = activation_statistics(np.asarray(jax.device_get(gen_acts)))
+            results[f"fid_{m}_{s_key}"] = frechet_distance(
+                mu_r, sig_r, mu_g, sig_g, sigma1_sqrt=sig_r_sqrt
+            )
     return results

@@ -84,23 +84,41 @@ def collect_plot_arrays(exp, state, epoch: int) -> Dict[str, Any]:
     dominant 19.8 s of the 32 s recurring round)."""
     cfg = exp.cfg
     model = exp.model
+    # plot grids render at most 8 rows per modality (render_plot_arrays);
+    # generate/condition on exactly that many rows and argmax text ON
+    # DEVICE — downloading a full generated batch included the [B, L,
+    # vocab] text probability tensor (flagship word mode: ~460 MB/round
+    # through the link for grids that use 4 rows of decoded tokens)
+    rows = min(cfg.batch_size, 8)
+
+    def _diet(out):
+        out = {m: v[:rows] for m, v in out.items()}
+        if "text" in out:
+            out["text"] = jnp.argmax(out["text"], axis=-1).astype(jnp.int32)
+        return out
 
     def build_programs():
         @jax.jit
         def rand_gen(params, batch_stats, r):
-            return model.apply({"params": params, "batch_stats": batch_stats},
-                               cfg.batch_size, train=False, rngs={"reparam": r},
-                               method=lambda m, k, train: m.generate(k, train=train))
+            return _diet(model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                rows, train=False, rngs={"reparam": r},
+                method=lambda m, k, train: m.generate(k, train=train)))
 
         @jax.jit
         def cond_gen(params, batch_stats, batch, r):
             def go(mod, b, train):
+                # grids condition on the first `rows` samples only —
+                # slicing before inference keeps the encoder passes at
+                # grid size (eval mode: BN running stats, row-independent)
+                b = {k: v[:rows] for k, v in b.items()}
                 latents = mod.inference(b, train=train)
                 return mod.cond_generation(latents["subsets"], train=train)
 
-            return model.apply({"params": params, "batch_stats": batch_stats},
-                               batch, train=False, rngs={"reparam": r},
-                               method=go)
+            out = model.apply({"params": params, "batch_stats": batch_stats},
+                              batch, train=False, rngs={"reparam": r},
+                              method=go)
+            return {s: _diet(mods) for s, mods in out.items()}
 
         return rand_gen, cond_gen
 
@@ -206,6 +224,7 @@ def generate_plots(exp, state, epoch: int, num_samples: int = 0) -> Dict[str, np
 def _make_swap(cfg, model, k):
     def swap(params, batch_stats, b, r):
         def go(mod, b, train):
+            b = {key: v[:k] for key, v in b.items()}  # grids use k rows
             latents = mod.inference(b, train=train)
             out = {}
             for m in cfg.modality_names:
