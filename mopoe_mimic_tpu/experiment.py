@@ -33,9 +33,14 @@ BINARY_LABELS = ["Finding"]
 
 
 class Experiment:
-    def __init__(self, cfg: MopoeConfig, make_dirs: bool = True):
+    def __init__(self, cfg: MopoeConfig, make_dirs: bool = True,
+                 name: Optional[str] = None):
+        """``name``: reattach to an EXISTING run directory (resume after a
+        process restart/preemption) instead of minting a fresh timestamped
+        one — the piece the reference's dead --load_saved flag never wired
+        up (BaseFlags.py:39, SURVEY.md §5)."""
         self.cfg = cfg
-        self.name = run_name(cfg)
+        self.name = name or run_name(cfg)
         self.paths = create_dir_structure(cfg, self.name, train=make_dirs)
         self.labels = BINARY_LABELS if cfg.binary_labels else LABELS
         self.modalities = list(cfg.modality_names)

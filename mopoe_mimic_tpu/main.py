@@ -38,15 +38,19 @@ MAX_NAN_RESTARTS = 10
 
 
 class Main:
-    def __init__(self, cfg: MopoeConfig):
+    def __init__(self, cfg: MopoeConfig, run_name: str | None = None):
         self.cfg = cfg
+        self.run_name = run_name  # reattach to this run dir (--load_run)
         self.restarts = 0
 
     def _run_once(self):
-        exp = Experiment(self.cfg)
+        exp = Experiment(self.cfg, name=self.run_name)
         log.info(f"starting experiment {exp.name}")
         try:
-            return run_epochs(exp, resume=bool(self.cfg.start_epoch))
+            return run_epochs(
+                exp,
+                resume=bool(self.cfg.start_epoch) or self.run_name is not None,
+            )
         except NaNInLatent:
             self._wipe(exp)
             raise
@@ -90,6 +94,11 @@ class Main:
                     raise
                 log.warning(f"device OOM; retrying with batch_size={new_bs}")
                 self.cfg = self.cfg.replace(batch_size=new_bs)
+        if result.get("preempted"):
+            log.warning(
+                "run exited on a preemption notice (SIGTERM) with a saved "
+                "checkpoint — relaunch with --start_epoch 1 to resume"
+            )
         log.info(f"experiment finished in {(time.time() - t0) / 60:.1f} min")
         return result
 
@@ -119,10 +128,31 @@ def main(argv=None):
         i = argv.index("--load_flags")
         flags_path = argv[i + 1]
         del argv[i : i + 2]
+    run_dir = None
+    if "--load_run" in argv:
+        # resume an existing run directory after a restart/preemption:
+        # reattach to its checkpoints and (unless --load_flags overrides)
+        # its persisted config
+        i = argv.index("--load_run")
+        run_dir = argv[i + 1]
+        del argv[i : i + 2]
     autotune = "--autotune_batch_size" in argv
     if autotune:
         argv.remove("--autotune_batch_size")
     cfg = MopoeConfig.from_cli(argv)
+    run_name_arg = None
+    if run_dir:
+        import os
+
+        run_dir = run_dir.rstrip("/")
+        run_name_arg = os.path.basename(run_dir)
+        parent = os.path.dirname(run_dir)
+        if parent:
+            cfg = cfg.replace(dir_experiment=parent)
+        if flags_path is None:
+            persisted = os.path.join(run_dir, "config.json")
+            if os.path.exists(persisted):
+                flags_path = persisted
     if flags_path:
         cfg = load_flags(cfg, flags_path)
     if cfg.seed is None:
@@ -134,7 +164,7 @@ def main(argv=None):
         if tuned != cfg.batch_size:
             log.info(f"autotuned batch_size {cfg.batch_size} → {tuned}")
             cfg = cfg.replace(batch_size=tuned)
-    return Main(cfg).main()
+    return Main(cfg, run_name=run_name_arg).main()
 
 
 if __name__ == "__main__":

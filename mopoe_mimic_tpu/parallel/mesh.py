@@ -79,8 +79,25 @@ def shard_batch(mesh: Mesh, batch: Dict[str, np.ndarray]):
 
 
 def replicate_state(mesh: Mesh, state):
-    """Replicate the train state pytree across the mesh."""
-    return jax.device_put(state, replicated_sharding(mesh))
+    """Replicate the train state pytree across the mesh.
+
+    Multi-process: `jax.device_put` onto a cross-process sharding runs a
+    hidden `multihost_utils.assert_equal` — one allgather COLLECTIVE per
+    pytree leaf to verify every process passed the same value. For a
+    TrainState that is dozens of gloo rendezvous + tiny compiles before
+    training starts (measured: it blew the 30 s gloo handshake window on
+    a contended host). States are seeded identically on every process by
+    construction, so build the global arrays from process-local data
+    instead — zero collectives, like shard_batch."""
+    sharding = replicated_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            state,
+        )
+    return jax.device_put(state, sharding)
 
 
 def init_multihost(

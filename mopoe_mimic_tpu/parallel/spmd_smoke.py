@@ -1,0 +1,287 @@
+"""Multi-process SPMD launch validation — run one copy per host.
+
+The reference validates its distributed path with an in-node mp.spawn DDP
+test (mimic/tests/test_training.py:116-119); the TPU-native equivalent is
+a *real multi-controller launch*: every process runs this same program,
+`jax.distributed.initialize` federates the devices, and the identical
+jitted train step executes over the global mesh with XLA inserting the
+cross-process collectives.
+
+What it exercises, end to end:
+
+  * `init_multihost` (parallel/mesh.py) — coordinator rendezvous;
+  * the global `Mesh` over all processes' devices;
+  * per-process `BatchLoader` host shards of one global epoch order
+    assembled into global arrays via `shard_batch`
+    (`jax.make_array_from_process_local_data`);
+  * the row-sharded multi-host `DeviceStore` (each process uploads only
+    the rows its devices own) and its on-device gather;
+  * the real jitted train step (gradient psum across processes) and the
+    scanned-epoch program (train/scan.py);
+  * cross-process metric agreement (`process_allgather`) — every
+    controller must observe bit-identical losses.
+
+Usage — on a real multi-host slice (args auto-detected on Cloud TPU):
+
+    python -m mopoe_mimic_tpu.parallel.spmd_smoke
+
+On any cluster / for CI (N processes on one machine, CPU backend):
+
+    python -m mopoe_mimic_tpu.parallel.spmd_smoke \
+        --coordinator localhost:9955 --num-processes 2 --process-id $i \
+        --platform cpu --out /tmp/smoke_$i.json
+
+Exit code 0 + an ``ok: true`` JSON artifact per process on success.
+tests/test_multiprocess_spmd.py drives exactly this as a subprocess
+fixture and checks the distributed losses against a single-process
+control run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+_BARRIER_SEQ = [0]
+
+
+def _barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Line the processes up via the coordination service (NOT a device
+    collective). Needed because the gloo CPU-collective rendezvous has a
+    hard 30 s handshake window: on a contended host, one process can
+    reach its first collective execution while the peer is still
+    compiling, and the handshake times out. Pairing each phase with an
+    AOT pre-compile (below) plus this barrier guarantees both sides have
+    finished compiling before either starts executing collectives."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed
+
+    _BARRIER_SEQ[0] += 1
+    distributed.global_state.client.wait_at_barrier(
+        f"spmd_smoke_{_BARRIER_SEQ[0]}_{name}", timeout_in_ms=timeout_ms
+    )
+
+
+def _precompile(jitted, *args) -> None:
+    """AOT-compile a jitted callable for these args; with the persistent
+    compilation cache on (main()), the later dispatch-path compile of the
+    same program is a disk hit, so this costs one compile, not two."""
+    try:
+        jitted.lower(*args).compile()
+    except Exception:  # non-jitted callable or lowering quirk: best effort
+        pass
+
+
+def _tiny_cfg(n_global_devices: int):
+    """Tiny-shape flagship (same shapes as __graft_entry__.dryrun_multichip)."""
+    from mopoe_mimic_tpu.config import MopoeConfig
+
+    return MopoeConfig(
+        method="joint_elbo",
+        dataset="testing",
+        img_size=64,
+        DIM_img=2,
+        DIM_text=2,
+        class_dim=4,
+        text_encoding="word",
+        vocab_size=50,
+        batch_size=2 * n_global_devices,
+        compute_dtype="float32",
+        initial_learning_rate=5e-4,
+    )
+
+
+def run(steps: int = 2, emulate_shards: int = 0) -> dict:
+    """The validation body; call after (optional) distributed init.
+
+    ``emulate_shards`` (single-process only): build the streaming batch
+    with the row ordering a K-process launch would assemble (per-shard
+    strided slices concatenated in process order), so a 1-process control
+    run is numerically comparable to a K-process run. MoE's deterministic
+    batch partition (ops/fusion.mixture_component_selection) and the
+    per-row reparam noise make the loss ordering-sensitive, so the
+    control must reproduce the ordering, not just the row set.
+
+    Returns the report dict (also the JSON artifact's contents).
+    """
+    import jax
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    from mopoe_mimic_tpu.data.device_store import DeviceStore
+    from mopoe_mimic_tpu.data.loader import BatchLoader
+    from mopoe_mimic_tpu.data.synthetic import SyntheticMimic
+    from mopoe_mimic_tpu.parallel.mesh import (
+        make_mesh,
+        replicate_state,
+        shard_batch,
+    )
+    from mopoe_mimic_tpu.train.scan import epoch_index_matrix, make_train_epoch
+    from mopoe_mimic_tpu.train.state import create_train_state
+    from mopoe_mimic_tpu.train.step import make_train_step
+
+    n_proc = jax.process_count()
+    pid = jax.process_index()
+    cfg = _tiny_cfg(jax.device_count())
+    mesh = make_mesh(cfg)
+    ds = SyntheticMimic(cfg, seed=0)
+
+    # --- host-sharded streaming path -----------------------------------
+    # every process draws the same global order and keeps its strided
+    # slice; shard_batch reassembles the global array across processes.
+    # The expected global batch is computable on every process: the
+    # per-shard slices of the (shared) epoch order, concatenated in
+    # process order.
+    n_shards = emulate_shards if (n_proc == 1 and emulate_shards) else n_proc
+    shard_loaders = [
+        BatchLoader(
+            ds, cfg.batch_size, shuffle=False, num_shards=n_shards, shard_index=i
+        )
+        for i in range(n_shards)
+    ]
+    shard_batches = [next(iter(ld))[0] for ld in shard_loaders]
+    expected = {
+        k: np.concatenate([sb[k] for sb in shard_batches])
+        for k in shard_batches[0]
+    }
+    if n_proc > 1:
+        loader = BatchLoader(ds, cfg.batch_size, shuffle=False)
+        assert loader.num_shards == n_proc and loader.shard_index == pid
+        batch0, _ = next(iter(loader))
+        for k in batch0:  # this process's loader == its strided shard
+            assert (batch0[k] == shard_batches[pid][k]).all(), k
+        global_batch = shard_batch(mesh, batch0)
+        _barrier("assembled_allgather")
+        assembled = np.asarray(
+            multihost_utils.process_allgather(global_batch["PA"], tiled=True)
+        )
+        assert (assembled == expected["PA"]).all(), (
+            "assembled global batch != expected rows"
+        )
+    else:
+        global_batch = shard_batch(mesh, expected)
+
+    state = create_train_state(cfg, jax.random.PRNGKey(0), expected)
+    state = replicate_state(mesh, state)
+    step = make_train_step(cfg)
+    _precompile(step, state, global_batch)
+    _barrier("train_step_compiled")
+    losses = []
+    for _ in range(steps):
+        state, metrics = step(state, global_batch)
+        losses.append(float(jax.device_get(metrics["total_loss"])))
+    assert all(np.isfinite(losses)), losses
+
+    # --- row-sharded multi-host DeviceStore ----------------------------
+    _barrier("device_store_upload")
+    store = DeviceStore(ds, cfg, mesh=mesh, shard_rows=True)
+    import jax.numpy as jnp
+
+    _precompile(store._gather, store.cols, jnp.zeros(cfg.batch_size, jnp.int32))
+    _barrier("store_gather_compiled")
+    store_losses = []
+    it = store.iter_epoch(0, cfg.batch_size, shuffle=False)
+    for _ in range(steps):
+        sb, _ = next(it)
+        state, metrics = step(state, sb)
+        store_losses.append(float(jax.device_get(metrics["total_loss"])))
+    assert all(np.isfinite(store_losses)), store_losses
+    # the store gather must reproduce the dataset rows under the store's
+    # compact contract (uint8 quantization: float = round(x*255)/255,
+    # data/device_store.py docstring)
+    probe_idx = np.arange(cfg.batch_size)
+    _barrier("store_probe_allgather")
+    gathered = np.asarray(
+        multihost_utils.process_allgather(store.gather(probe_idx)["PA"], tiled=True)
+    )
+    raw = np.asarray(ds.arrays["PA"][probe_idx], np.float32)
+    expected_px = np.round(np.clip(raw, 0.0, 1.0) * 255.0).astype(np.uint8)
+    expected_px = expected_px.astype(np.float32) / 255.0
+    # tolerance: XLA may lower the on-device /255 dequant as a
+    # multiply-by-reciprocal — up to 1 ulp from the host division
+    err = np.abs(gathered - expected_px).max()
+    assert err <= 1e-6, (
+        f"row-sharded store gather != quantized dataset rows (max err {err})"
+    )
+
+    # --- scanned-epoch program -----------------------------------------
+    train_epoch = make_train_epoch(cfg, store)
+    idx_mat = epoch_index_matrix(store, 1, cfg.batch_size, steps_cap=steps)
+    _precompile(train_epoch, state, store.cols, idx_mat)
+    _barrier("scan_epoch_compiled")
+    state, avg = train_epoch(state, store.cols, idx_mat)
+    scan_loss = float(jax.device_get(avg["total_loss"]))
+    assert np.isfinite(scan_loss), scan_loss
+
+    # --- cross-process agreement ---------------------------------------
+    _barrier("final_allgather")
+    all_losses = np.asarray(
+        multihost_utils.process_allgather(
+            np.asarray(losses + store_losses + [scan_loss], np.float64)
+        )
+    ).reshape(n_proc, -1)
+    agree = bool((all_losses == all_losses[0]).all())
+    assert agree, f"process metric disagreement:\n{all_losses}"
+
+    return {
+        "ok": True,
+        "process_id": pid,
+        "num_processes": n_proc,
+        "local_devices": jax.local_device_count(),
+        "global_devices": jax.device_count(),
+        "steps": steps,
+        "losses_stream": losses,
+        "losses_store": store_losses,
+        "loss_scan_epoch": scan_loss,
+        "cross_process_agreement": agree,
+    }
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--coordinator", default=None,
+                    help="coordinator address host:port (auto on Cloud TPU)")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu for CI runs)")
+    ap.add_argument("--steps", type=int, default=2)
+    ap.add_argument("--emulate-shards", type=int, default=0,
+                    help="single-process control: reproduce the batch "
+                    "ordering of a K-process launch (see run())")
+    ap.add_argument("--out", default=None, help="write the report JSON here")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mopoe_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    if args.num_processes and args.num_processes > 1:
+        from mopoe_mimic_tpu.parallel.mesh import init_multihost
+
+        init_multihost(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+
+    report = run(steps=args.steps, emulate_shards=args.emulate_shards)
+    out = json.dumps(report)
+    print(out, flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(out)
+    if args.num_processes and args.num_processes > 1:
+        jax.distributed.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

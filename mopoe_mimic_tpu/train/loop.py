@@ -37,9 +37,18 @@ def run_epochs(
     state: Optional[TrainState] = None,
     mesh=None,
     resume: bool = False,
+    preemption="install",
 ) -> Dict[str, Any]:
+    """``preemption``: "install" (default) hooks SIGTERM via a fresh
+    PreemptionGuard — a preempted worker checkpoints at the next epoch
+    boundary and returns ``preempted=True`` (utils/preemption.py); pass a
+    guard instance to share one across components, or None to disable."""
+    from mopoe_mimic_tpu.utils.preemption import PreemptionGuard
+
     cfg = exp.cfg
     mesh = mesh or make_mesh(cfg)
+    own_guard = preemption == "install"
+    guard = PreemptionGuard().install() if own_guard else preemption
     train_loader, test_loader = exp.make_loaders()
 
     # device-resident data: park the compact store in HBM once; per-step
@@ -98,6 +107,7 @@ def run_epochs(
     train_avg: Dict[str, Any] = {}
     test_avg: Dict[str, Any] = {}
     epoch_times = []
+    preempted = False
 
     def run_heavy_evals(epoch: int) -> None:
         """Heavy eval suite; import failures are LOUD — a missing
@@ -222,8 +232,22 @@ def run_epochs(
                 if not evals_ran:
                     run_heavy_evals(epoch)
                 break
+            if guard is not None and guard.requested:
+                log.warning(
+                    f"preemption: checkpointing at epoch {epoch} and exiting "
+                    "— resume with run_epochs(resume=True) / --start_epoch"
+                )
+                if exp.checkpoints is not None:
+                    exp.checkpoints.save(
+                        epoch, state, force=True,
+                        metrics={"test_loss": test_loss},
+                    )
+                preempted = True
+                break
 
     finally:
+        if own_guard and guard is not None:
+            guard.uninstall()
         exp.drain_host_jobs()
 
     # durable-on-return: flush the staged best and drain the async
@@ -233,7 +257,7 @@ def run_epochs(
         exp.checkpoints.wait_until_finished()
 
     return {"state": state, "train": train_avg, "test": last_test,
-            "epochs_run": len(epoch_times),
+            "epochs_run": len(epoch_times), "preempted": preempted,
             "mean_epoch_time": float(np.mean(epoch_times)) if epoch_times else 0.0}
 
 
