@@ -45,6 +45,7 @@ class Main:
 
     def _run_once(self):
         exp = Experiment(self.cfg, name=self.run_name)
+        self.last_run_dir = exp.paths.get("experiment_run", "")
         log.info(f"starting experiment {exp.name}")
         try:
             return run_epochs(
@@ -95,17 +96,26 @@ class Main:
                 log.warning(f"device OOM; retrying with batch_size={new_bs}")
                 self.cfg = self.cfg.replace(batch_size=new_bs)
         if result.get("preempted"):
+            # resume must reattach to THIS run dir (--load_run): a bare
+            # relaunch mints a fresh timestamped dir with no checkpoint in
+            # it and silently starts over (ADVICE r3)
             log.warning(
                 "run exited on a preemption notice (SIGTERM) with a saved "
-                "checkpoint — relaunch with --start_epoch 1 to resume"
+                "checkpoint — resume with: "
+                f"--load_run {getattr(self, 'last_run_dir', '<run_dir>')}"
             )
         log.info(f"experiment finished in {(time.time() - t0) / 60:.1f} min")
         return result
 
 
-def load_flags(cfg: MopoeConfig, path: str) -> MopoeConfig:
+def load_flags(cfg: MopoeConfig, path: str, skip=()) -> MopoeConfig:
     """Overlay hyperparameters from a previous run's persisted config,
-    keeping this run's paths (parity: --load_flags, flags.py:159-163)."""
+    keeping this run's paths (parity: --load_flags, flags.py:159-163).
+
+    ``skip``: field names that must NOT be overlaid — the explicit CLI
+    flags of the current invocation, so `--load_run X --end_epoch 200`
+    extends a finished run instead of being silently reverted to the
+    persisted end_epoch (ADVICE r3)."""
     import dataclasses
     import json
 
@@ -114,7 +124,7 @@ def load_flags(cfg: MopoeConfig, path: str) -> MopoeConfig:
     known = {f.name for f in dataclasses.fields(MopoeConfig)}
     params = {
         k: v for k, v in old.items()
-        if k in known and "dir" not in k and "path" not in k
+        if k in known and k not in skip and "dir" not in k and "path" not in k
     }
     return cfg.replace(**params)
 
@@ -139,6 +149,11 @@ def main(argv=None):
     autotune = "--autotune_batch_size" in argv
     if autotune:
         argv.remove("--autotune_batch_size")
+    # field names explicitly passed on THIS command line win over any
+    # persisted config overlay below
+    explicit_keys = {
+        tok[2:].split("=", 1)[0] for tok in argv if tok.startswith("--")
+    }
     cfg = MopoeConfig.from_cli(argv)
     run_name_arg = None
     if run_dir:
@@ -154,7 +169,7 @@ def main(argv=None):
             if os.path.exists(persisted):
                 flags_path = persisted
     if flags_path:
-        cfg = load_flags(cfg, flags_path)
+        cfg = load_flags(cfg, flags_path, skip=explicit_keys)
     if cfg.seed is None:
         cfg = cfg.replace(seed=int(np.random.default_rng().integers(0, 10000)))
     if autotune:

@@ -59,12 +59,21 @@ def _barrier(name: str, timeout_ms: int = 600_000) -> None:
 
     if jax.process_count() <= 1:
         return
-    from jax._src import distributed
-
     _BARRIER_SEQ[0] += 1
-    distributed.global_state.client.wait_at_barrier(
-        f"spmd_smoke_{_BARRIER_SEQ[0]}_{name}", timeout_in_ms=timeout_ms
-    )
+    tag = f"spmd_smoke_{_BARRIER_SEQ[0]}_{name}"
+    try:
+        # coordination-service barrier: host-side, no device collective,
+        # so it can line processes up BEFORE any collective executes.
+        # Private API (no stability guarantee) — hence the fallback.
+        from jax._src import distributed
+
+        distributed.global_state.client.wait_at_barrier(
+            tag, timeout_in_ms=timeout_ms
+        )
+    except Exception:  # jax upgrade moved the private API (ADVICE r3)
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
 
 
 def _precompile(jitted, *args) -> None:

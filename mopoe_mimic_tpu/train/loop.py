@@ -232,10 +232,11 @@ def run_epochs(
                 if not evals_ran:
                     run_heavy_evals(epoch)
                 break
-            if guard is not None and guard.requested:
+            if guard is not None and _agree_preemption(guard.requested):
                 log.warning(
                     f"preemption: checkpointing at epoch {epoch} and exiting "
-                    "— resume with run_epochs(resume=True) / --start_epoch"
+                    "— resume by reattaching to this run dir: "
+                    f"--load_run {exp.paths.get('experiment_run', '<run_dir>')}"
                 )
                 if exp.checkpoints is not None:
                     exp.checkpoints.save(
@@ -259,6 +260,24 @@ def run_epochs(
     return {"state": state, "train": train_avg, "test": last_test,
             "epochs_run": len(epoch_times), "preempted": preempted,
             "mean_epoch_time": float(np.mean(epoch_times)) if epoch_times else 0.0}
+
+
+def _agree_preemption(local_flag: bool) -> bool:
+    """Cross-process agreement on the preemption flag (ADVICE r3).
+
+    SIGTERM delivery timing is per-process: without agreement, process 0
+    can break at epoch N while the others enter epoch N+1 and hang on the
+    first cross-process collective. Every process calls this exactly once
+    per epoch boundary; the allgathered max makes the break (and the
+    checkpoint decision) unanimous. Single-process: a plain bool read."""
+    if jax.process_count() <= 1:
+        return bool(local_flag)
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(
+        np.asarray(int(bool(local_flag)), dtype=np.int32)
+    )
+    return bool(np.max(np.asarray(flags)) > 0)
 
 
 def _check_nans(cfg: MopoeConfig, avg: Dict[str, Any]) -> None:

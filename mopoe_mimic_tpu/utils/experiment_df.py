@@ -22,7 +22,25 @@ class ExperimentDataframe:
         row.update({k: str(v) if isinstance(v, (list, tuple, dict)) else v
                     for k, v in cfg.to_dict().items()})
         df = self._load()
-        df = pd.concat([df, pd.DataFrame([row])], ignore_index=True)
+        if len(df) and "str_experiment" in df.columns and \
+                (df["str_experiment"] == run_name).any():
+            # reattach (--load_run / preemption resume): reuse the existing
+            # row — refresh its config fields, keep accumulated metrics —
+            # instead of appending a duplicate that update()/delete_row()
+            # would then mutate en masse (ADVICE r3). Collapse any legacy
+            # duplicates to the first occurrence.
+            df = df[~df["str_experiment"].duplicated() |
+                    (df["str_experiment"] != run_name)].reset_index(drop=True)
+            mask = df["str_experiment"] == run_name
+            for k, v in row.items():
+                if k not in df.columns:
+                    df[k] = pd.Series([None] * len(df), dtype="object") \
+                        if isinstance(v, str) else float("nan")
+                elif isinstance(v, str) and df[k].dtype != object:
+                    df[k] = df[k].astype(object)
+                df.loc[mask, k] = v
+        else:
+            df = pd.concat([df, pd.DataFrame([row])], ignore_index=True)
         self._write(df)
 
     def _load(self) -> pd.DataFrame:

@@ -30,6 +30,46 @@ def test_experiment_df_roundtrip(tmp_path):
     assert len(pd.read_csv(csv)) == 1
 
 
+def test_experiment_df_reattach_reuses_row(tmp_path):
+    """--load_run / preemption resume must NOT append a duplicate row
+    (ADVICE r3): the reattached ExperimentDataframe reuses the existing
+    row, refreshing config fields but keeping accumulated metrics."""
+    cfg = MopoeConfig(dataset="testing", end_epoch=5)
+    csv = tmp_path / "experiments_dataframe.csv"
+    df1 = ExperimentDataframe(str(csv), cfg, "run_a")
+    df1.update({"total_test_loss": 1.5})
+    # resume with an extended end_epoch (CLI override on reattach)
+    ExperimentDataframe(str(csv), cfg.replace(end_epoch=10), "run_a")
+    loaded = pd.read_csv(csv)
+    assert len(loaded) == 1
+    assert loaded.iloc[0]["end_epoch"] == 10  # config refreshed
+    assert loaded.iloc[0]["total_test_loss"] == 1.5  # metrics kept
+    # and update() after reattach touches exactly that one row
+    ExperimentDataframe(str(csv), cfg, "run_b").update({"total_test_loss": 9.0})
+    loaded = pd.read_csv(csv)
+    assert len(loaded) == 2
+    assert loaded[loaded["str_experiment"] == "run_a"].iloc[0]["total_test_loss"] == 1.5
+
+
+def test_load_flags_cli_wins():
+    """Explicit CLI flags survive a --load_run config overlay (ADVICE r3)."""
+    import json
+
+    from mopoe_mimic_tpu.main import load_flags
+
+    cfg = MopoeConfig(dataset="testing", end_epoch=200, batch_size=16)
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
+        json.dump({"end_epoch": 100, "batch_size": 64, "beta": 2.5}, f)
+        path = f.name
+    merged = load_flags(cfg, path, skip={"end_epoch"})
+    assert merged.end_epoch == 200  # explicit CLI flag wins
+    assert merged.batch_size == 64  # non-explicit: persisted value applies
+    assert merged.beta == 2.5
+    os.unlink(path)
+
+
 def test_housekeeping(tmp_path):
     # run with a CSV row and enough epochs survives; unknown dir is removed
     cfg = MopoeConfig(dataset="testing", dir_experiment=str(tmp_path))
