@@ -17,6 +17,8 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
+
+from mopoe_mimic_tpu.models.resblocks import TorchBatchNorm
 import jax
 import jax.numpy as jnp
 
@@ -30,12 +32,12 @@ class _DenseLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool):
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        h = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
         h = nn.relu(h)
         h = nn.Conv(4 * self.growth, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv1")(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        h = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32, name="norm2")(h)
         h = nn.relu(h)
         h = nn.Conv(self.growth, (3, 3), padding=1, use_bias=False,
@@ -49,7 +51,7 @@ class _Transition(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool):
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        h = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32, name="norm")(x)
         h = nn.relu(h)
         h = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
@@ -66,7 +68,7 @@ class DenseNet121(nn.Module):
     def __call__(self, x, *, train: bool = True):
         h = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
                     dtype=self.dtype, name="conv0")(x)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        h = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32, name="norm0")(h)
         h = nn.relu(h)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -80,7 +82,7 @@ class DenseNet121(nn.Module):
                 features //= 2
                 h = _Transition(features, self.dtype,
                                 name=f"transition{bi + 1}")(h, train=train)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        h = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32, name="norm5")(h)
         h = nn.relu(h)
         return jnp.mean(h, axis=(1, 2))  # global average pool → [B, 1024]

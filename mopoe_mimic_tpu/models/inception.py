@@ -27,6 +27,8 @@ from __future__ import annotations
 from typing import Any, Dict, Mapping, Tuple
 
 import flax.linen as nn
+
+from mopoe_mimic_tpu.models.resblocks import TorchBatchNorm
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -49,7 +51,7 @@ class BasicConv2d(nn.Module):
         h = nn.Conv(self.features, self.kernel, strides=self.strides,
                     padding=pad, use_bias=False, dtype=self.dtype,
                     name="conv")(x)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        h = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-3, dtype=jnp.float32, name="bn")(h)
         return nn.relu(h)
 

@@ -138,6 +138,70 @@ class _ConvVars(nn.Module):
         return kernel, bias
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with exact torch running-stat semantics.
+
+    flax ``nn.BatchNorm`` stores the BIASED batch variance in its running
+    stats; torch stores the UNBIASED one (Bessel ``n/(n-1)`` correction in
+    ``torch.nn.modules.batchnorm._BatchNorm``). Train-mode normalization
+    uses the biased variance in both frameworks, so the difference shows
+    only at eval time — but it is material wherever few elements are
+    normalized: the encoder-tail blocks at 1×1 spatial have n = batch
+    (n=8 → +14% running var under flax semantics). Torch parity here is
+    what makes eval-mode loss trajectories pin against the executed
+    reference after REAL training steps (test_golden_training_trajectory),
+    not just on imported frozen stats.
+
+    Drop-in for the ``nn.BatchNorm`` usage in this package: same
+    constructor kwargs subset, same variable tree (params: scale/bias in
+    param_dtype; batch_stats: mean/var in float32), so checkpoints and
+    the torch importer are unaffected.
+    """
+
+    use_running_average: Optional[bool] = None
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        ura = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        feat = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), (feat,))
+        ra_var = self.variable(
+            "batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), (feat,))
+        scale = self.param("scale", nn.initializers.ones, (feat,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (feat,), self.param_dtype)
+        out_dtype = self.dtype or jnp.float32
+        if ura:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            # stats in float32 over all non-feature axes. TWO-PASS
+            # variance (E[(x−μ)²]), not flax's fast variance (E[x²]−μ²):
+            # the fast form cancels catastrophically when μ² ≫ σ² — at the
+            # 1×1-spatial encoder tails it costs several percent of
+            # accuracy vs torch's Welford variance, visible as a
+            # train-mode forward mismatch in the golden trajectory test.
+            xf = x.astype(jnp.float32).reshape(-1, feat)
+            mean = jnp.mean(xf, axis=0)
+            var = jnp.mean(jnp.square(xf - mean), axis=0)
+            if not self.is_initializing():
+                n = xf.shape[0]
+                bessel = n / max(n - 1, 1)  # torch: running var is unbiased
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * (var * bessel)
+        inv = lax.rsqrt(var.astype(out_dtype) + jnp.asarray(self.epsilon, out_dtype))
+        y = (x.astype(out_dtype) - mean.astype(out_dtype)) * (
+            inv * scale.astype(out_dtype)
+        ) + bias.astype(out_dtype)
+        return y
+
+
 class _BlockBase(nn.Module):
     """Shared body of the residual blocks."""
 
@@ -169,10 +233,11 @@ class _BlockBase(nn.Module):
     # not bitwise — opt-in like cfg.fused_text_head).
     fused_pointwise: bool = False
 
-    def _bn(self, name: str) -> nn.BatchNorm:
+    def _bn(self, name: str) -> "TorchBatchNorm":
         # torch BatchNorm defaults: eps=1e-5, running-stat momentum 0.1
-        # (flax momentum = 1 - torch momentum). Stats in float32.
-        return nn.BatchNorm(
+        # (flax momentum = 1 - torch momentum). Stats in float32, running
+        # var unbiased (TorchBatchNorm — torch parity, not flax).
+        return TorchBatchNorm(
             use_running_average=None,
             momentum=0.9,
             epsilon=self.bn_eps,
@@ -218,9 +283,13 @@ class _BlockBase(nn.Module):
             interpret=jax.default_backend() == "cpu",
         )
         if not self.is_initializing():
-            # nn.BatchNorm running-stat update, momentum 0.9
+            # torch running-stat update, momentum 0.9; running var is
+            # unbiased (Bessel) like TorchBatchNorm, over the n = B·spatial
+            # elements the kernel reduced
+            n = x.size // feat
+            bessel = n / max(n - 1, 1)
             ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
-            ra_var.value = 0.9 * ra_var.value + 0.1 * var
+            ra_var.value = 0.9 * ra_var.value + 0.1 * (var * bessel)
         return y
 
 

@@ -71,7 +71,10 @@ def convert_densenet_state_dict(
     for key, tensor in state_dict.items():
         if key.endswith("num_batches_tracked"):
             continue
-        arr = np.asarray(tensor.detach().cpu().numpy() if hasattr(tensor, "detach") else tensor)
+        arr = np.array(  # COPY: .numpy() aliases live torch storage —
+            # without the copy, a later torch optimizer.step() would
+            # silently mutate the "imported" weights (golden trajectory bug)
+            tensor.detach().cpu().numpy() if hasattr(tensor, "detach") else tensor)
         path, leaf, is_stat = _flax_path(key)
         if leaf == "kernel" and arr.ndim == 4:
             arr = _conv_kernel(arr)
@@ -176,7 +179,7 @@ def convert_mopoe_state_dict(state_dict: Mapping[str, Any], cfg) -> Dict[str, An
     for key, tensor in state_dict.items():
         if key.endswith("num_batches_tracked"):
             continue
-        arr = np.asarray(
+        arr = np.array(  # COPY — see comment in convert_state_dict
             tensor.detach().cpu().numpy() if hasattr(tensor, "detach") else tensor
         )
         parts = key.split(".")

@@ -3,6 +3,7 @@ topologies (FeatureExtractorImg.py:62-80, DataGeneratorImg.py:93-98,
 char/word text nets)."""
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 import pytest
 
@@ -201,3 +202,49 @@ def test_fixed_image_extractor_freezes_densenet_trunk():
                 assert trunk == 0.0, f"frozen trunk leaked gradient: {trunk}"
             else:
                 assert trunk > 0.0
+
+
+def test_torch_batchnorm_running_stats_parity():
+    """TorchBatchNorm stores UNBIASED running variance like torch
+    (Bessel n/(n-1)); flax nn.BatchNorm stores the biased one — a +14%
+    running-var skew at n=8 that breaks eval-mode trajectory parity for
+    the 1x1-spatial encoder tails. Pin mean/var/output against the real
+    torch.nn.BatchNorm2d over several train steps + one eval step."""
+    torch = pytest.importorskip("torch")
+    from mopoe_mimic_tpu.models.resblocks import TorchBatchNorm
+
+    rng = np.random.default_rng(3)
+    feat, B, H, W = 5, 8, 1, 1  # n = 8: the worst-case tail geometry
+    bn_t = torch.nn.BatchNorm2d(feat)  # momentum 0.1 = flax 0.9
+    bn_j = TorchBatchNorm(momentum=0.9, epsilon=1e-5)
+    xs = [rng.standard_normal((B, H, W, feat)).astype(np.float32) * (i + 1)
+          for i in range(4)]
+    variables = bn_j.init(jax.random.PRNGKey(0), jnp.asarray(xs[0]),
+                          use_running_average=False)
+    stats = variables["batch_stats"]
+    bn_t.train()
+    for x in xs:
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        with torch.no_grad():
+            yt = bn_t(xt)
+        yj, mut = bn_j.apply(
+            {"params": variables["params"], "batch_stats": stats},
+            jnp.asarray(x), use_running_average=False,
+            mutable=["batch_stats"],
+        )
+        stats = mut["batch_stats"]
+        np.testing.assert_allclose(
+            np.asarray(yj), yt.numpy().transpose(0, 2, 3, 1), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(stats["mean"]), bn_t.running_mean.numpy(), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(stats["var"]), bn_t.running_var.numpy(), rtol=1e-6)
+    # eval mode: normalize with the (unbiased) running stats
+    bn_t.eval()
+    x = xs[-1]
+    with torch.no_grad():
+        yt = bn_t(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    yj = bn_j.apply({"params": variables["params"], "batch_stats": stats},
+                    jnp.asarray(x), use_running_average=True)
+    np.testing.assert_allclose(
+        np.asarray(yj), yt.numpy().transpose(0, 2, 3, 1), atol=1e-5)
