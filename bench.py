@@ -39,8 +39,13 @@ def main():
                     help="disable the pallas fusion kernel (ablation; it is "
                     "ON by default on TPU, a no-op elsewhere)")
     ap.add_argument("--fp32", action="store_true", help="float32 compute instead of bf16")
+    ap.add_argument("--diet", action="store_true",
+                    help="measure the production diet (bn_compute_dtype="
+                    "compute + fused_text_head) instead of the default "
+                    "reference-precision parity config")
     ap.add_argument("--parity", action="store_true",
-                    help="measure the reference-precision parity config "
+                    help="(default behavior; kept for compatibility) "
+                    "measure the reference-precision parity config "
                     "(f32 BN outputs, unfused vocab head) instead of the "
                     "default production diet (bn_compute_dtype=compute + "
                     "fused_text_head; BENCH.md step-diet table)")
@@ -122,11 +127,12 @@ def main():
             batch_size=args.batch or (256 * n_chips if on_tpu else 16),
         )
 
-    # default = the production diet (BENCH.md step-diet table): bf16 BN
-    # outputs + the fused Pallas vocab head, +14% over the parity config
-    # at pinned-equal loss trajectory (tests/test_pallas_texthead.py).
-    # --parity measures the reference-precision configuration instead.
-    if not args.parity and not args.quick and not args.fp32:
+    # default = the reference-precision PARITY config — the driver-graded
+    # number is the apples-to-apples one (VERDICT r3 weak #5). --diet
+    # opts into the production diet (BENCH.md step-diet table): bf16 BN
+    # outputs + the fused Pallas vocab head, +14% at pinned-equal loss
+    # trajectory (tests/test_pallas_texthead.py).
+    if args.diet and not args.quick and not args.fp32:
         cfg = cfg.replace(bn_compute_dtype="compute", fused_text_head=True)
     if args.uint8:
         cfg = cfg.replace(transfer_uint8=True)
@@ -249,11 +255,11 @@ def main():
     suffix += "_uint8" if args.uint8 else ""
     suffix += "_devstore" if args.device_store else ""
     suffix += "_perstep" if args.per_step else ""
-    suffix += "_parity" if args.parity else ""
+    suffix += "_diet" if args.diet else ""
     mode = ("scanned epoch (1 dispatch/window, on-device gather)"
             if scan_mode else "per-step dispatch")
-    mode += ("; parity config" if args.parity else
-             "; production diet (bn_bf16 + fused_text_head)"
+    mode += ("; production diet (bn_bf16 + fused_text_head)" if args.diet
+             else "; reference-precision parity config"
              if (not args.quick and not args.fp32) else "")
     print(json.dumps({
         "metric": f"train_samples_per_sec_per_chip_mopoe128{suffix}",

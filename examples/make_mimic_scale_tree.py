@@ -64,6 +64,12 @@ def main() -> None:
                     help="fabricated JPEG side (real MIMIC is ~2500-3000)")
     ap.add_argument("--classes", type=int, default=6)
     ap.add_argument("--uncertain_frac", type=float, default=0.02)
+    ap.add_argument("--noise", type=float, default=0.0,
+                    help="per-channel corruption prob (image band / report "
+                    "vocab / labels each independently follow a random "
+                    "class instead of the true one) — de-saturates "
+                    "lr-eval/coherence so the metrics can rank model "
+                    "quality instead of pinning at 1.0 (VERDICT r3 #4)")
     args = ap.parse_args()
     from PIL import Image
 
@@ -88,19 +94,28 @@ def main() -> None:
         d = root / "files" / rel
         d.mkdir(parents=True, exist_ok=True)
 
+        def corrupted() -> int:
+            # independent per-channel corruption (SyntheticMimic noise
+            # contract): with prob --noise this channel follows a random
+            # class instead of the true one
+            if args.noise and rng.random() < args.noise:
+                return int(rng.integers(0, args.classes))
+            return c
+
         # report: class sentence + two fillers (stable, learnable vocab)
         fillers = rng.choice(FILLER, size=2, replace=False)
-        findings = f"{CLASS_SENTENCES[c]}. {fillers[0]}. {fillers[1]}."
+        c_text = corrupted()
+        findings = f"{CLASS_SENTENCES[c_text]}. {fillers[0]}. {fillers[1]}."
         (root / "files" / rel.parent / f"s{study}.txt").write_text(
             REPORT_TPL.format(findings=findings,
-                              impression=CLASS_SENTENCES[c])
+                              impression=CLASS_SENTENCES[c_text])
         )
 
         # two views: bright band position encodes the class (view-offset
         # like SyntheticMimic structured)
         for v_i, view in enumerate(("PA", "LATERAL")):
             arr = (rng.random((s, s)) * 25).astype(np.uint8)
-            top = ((c + v_i) % args.classes) * band + band // 2
+            top = ((corrupted() + v_i) % args.classes) * band + band // 2
             arr[top : top + band] = np.minimum(
                 arr[top : top + band].astype(np.int32) + 200, 255
             ).astype(np.uint8)
@@ -112,7 +127,7 @@ def main() -> None:
         # labels from the class; a small fraction 'uncertain' (-1)
         lbl = {name: 0.0 for name in
                ("Lung Opacity", "Pleural Effusion", "Support Devices")}
-        lbl[list(lbl)[c % 3]] = 1.0
+        lbl[list(lbl)[corrupted() % 3]] = 1.0
         if rng.random() < args.uncertain_frac:
             lbl["Pleural Effusion"] = -1.0
         chex_rows.append({"subject_id": subject, "study_id": study, **lbl})

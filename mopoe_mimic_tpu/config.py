@@ -121,6 +121,9 @@ class MopoeConfig:
     dataset: str = "Mimic"
     synthetic_length: int = 0  # testing* train-split size; 0 → 2·batch_size
     synthetic_classes: int = 3  # latent classes in testing_structured
+    # per-channel corruption prob in testing_structured (data/synthetic.py):
+    # >0 de-saturates eval metrics so they can rank model quality
+    synthetic_noise: float = 0.0
     only_text_modality: bool = False
     undersample_dataset: bool = False
     weighted_sampler: bool = False

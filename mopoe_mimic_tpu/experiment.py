@@ -83,11 +83,12 @@ class Experiment:
             n = cfg.synthetic_length or 2 * cfg.batch_size
             self.dataset_train = SyntheticMimic(
                 cfg, seed=0, length=n, structured=True,
-                n_classes=cfg.synthetic_classes,
+                n_classes=cfg.synthetic_classes, noise=cfg.synthetic_noise,
             )
             self.dataset_test = SyntheticMimic(
                 cfg, seed=1, length=max(n // 4, cfg.batch_size),
                 structured=True, n_classes=cfg.synthetic_classes,
+                noise=cfg.synthetic_noise,
             )
         elif cfg.dataset.lower() == "testing":
             self.dataset_train = SyntheticMimic(cfg, seed=0, length=cfg.synthetic_length)

@@ -30,6 +30,22 @@ time anyway; queuing happens in the listen backlog) but the server
 thread never blocks the dispatcher: batch-size bucketing inside
 InferenceSession keeps steady-state traffic compile-free.
 
+Scope & limits
+--------------
+This is a RESEARCH endpoint for driving a trained model interactively /
+from notebooks — not a hardened production frontend. It binds to
+localhost by default, speaks plain HTTP, and has no auth. What it does
+enforce (so a stray client can't wedge the process):
+
+  * request bodies above ``--max_body_mb`` (default 64) → 413
+  * more than ``--max_inflight`` concurrently executing requests
+    (default 8) → 503 after a short wait — backpressure instead of an
+    unbounded thread pile-up in ThreadingHTTPServer
+  * ``/generate?num_samples`` above ``--max_samples`` (default 512) → 400
+
+Put a real reverse proxy (TLS, auth, rate limits) in front for anything
+beyond a trusted lab network.
+
 CLI:
     python -m mopoe_mimic_tpu.serve_http --run_dir DIR --port 8000
 """
@@ -103,6 +119,18 @@ class _Handler(BaseHTTPRequestHandler):
         n = int(self.headers.get("Content-Length") or 0)
         return self.rfile.read(n) if n else b""
 
+    def _body_too_large(self) -> bool:
+        """413 + drain-free close for oversized requests (size cap)."""
+        limit = getattr(self.server, "max_body_bytes", 64 * 1024 * 1024)
+        n = int(self.headers.get("Content-Length") or 0)
+        if n <= limit:
+            return False
+        self._json(413, {
+            "error": f"request body {n} bytes exceeds limit {limit}"
+        })
+        self.close_connection = True  # don't read the oversized body
+        return True
+
     def _q(self, query: Dict[str, list], key: str, default=None, cast=str):
         vals = query.get(key)
         return cast(vals[0]) if vals else default
@@ -130,11 +158,31 @@ class _Handler(BaseHTTPRequestHandler):
         sess: InferenceSession = self.server.session  # type: ignore[attr-defined]
         url = urlparse(self.path)
         query = parse_qs(url.query)
+        if self._body_too_large():
+            return None
+        # bounded concurrency: beyond max_inflight executing requests,
+        # shed load with 503 instead of stacking handler threads
+        gate = getattr(self.server, "inflight_gate", None)
+        if gate is not None and not gate.acquire(timeout=getattr(
+                self.server, "inflight_wait_s", 5.0)):
+            return self._json(503, {"error": "server busy — retry later"})
+        try:
+            return self._do_post(sess, url, query)
+        finally:
+            if gate is not None:
+                gate.release()
+
+    def _do_post(self, sess, url, query):
         seed = self._q(query, "seed", 0, int)
         compact = bool(self._q(query, "compact", 0, int))
         try:
             if url.path == "/generate":
                 n = self._q(query, "num_samples", 16, int)
+                cap = getattr(self.server, "max_samples", 512)
+                if not 0 < n <= cap:
+                    return self._json(400, {
+                        "error": f"num_samples must be in [1, {cap}], got {n}"
+                    })
                 out = sess.generate(n, seed=seed, compact=compact)
                 return self._npz(out)
             if url.path == "/encode":
@@ -167,10 +215,16 @@ class InferenceServer:
     """
 
     def __init__(self, session: InferenceSession, host: str = "127.0.0.1",
-                 port: int = 8000):
+                 port: int = 8000, max_body_mb: int = 64,
+                 max_inflight: int = 8, max_samples: int = 512,
+                 inflight_wait_s: float = 5.0):
         self.session = session
         self._httpd = ThreadingHTTPServer((host, port), _Handler)
         self._httpd.session = session  # type: ignore[attr-defined]
+        self._httpd.max_body_bytes = max_body_mb * 1024 * 1024  # type: ignore[attr-defined]
+        self._httpd.max_samples = max_samples  # type: ignore[attr-defined]
+        self._httpd.inflight_gate = threading.Semaphore(max_inflight)  # type: ignore[attr-defined]
+        self._httpd.inflight_wait_s = inflight_wait_s  # type: ignore[attr-defined]
         self._thread: Optional[threading.Thread] = None
         self.host, self.port = self._httpd.server_address[:2]
 
@@ -213,12 +267,18 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--epoch", type=int, default=None)
+    ap.add_argument("--max_body_mb", type=int, default=64)
+    ap.add_argument("--max_inflight", type=int, default=8)
+    ap.add_argument("--max_samples", type=int, default=512)
     args = ap.parse_args(argv)
     sess = InferenceSession(run_dir=args.run_dir, epoch=args.epoch)
     # compile the smallest generate bucket up front so the first request
     # doesn't pay the full compile latency
     sess.generate(1)
-    InferenceServer(sess, host=args.host, port=args.port).serve_forever()
+    InferenceServer(
+        sess, host=args.host, port=args.port, max_body_mb=args.max_body_mb,
+        max_inflight=args.max_inflight, max_samples=args.max_samples,
+    ).serve_forever()
 
 
 if __name__ == "__main__":

@@ -75,9 +75,11 @@ def _to_rgb(frames: np.ndarray) -> np.ndarray:
 
 
 def collect_plot_arrays(exp, state, epoch: int) -> Dict[str, Any]:
-    """DEVICE phase of plot generation: run the cached jitted generate /
-    cond-generate / style-swap programs and download the raw sample
-    arrays. Everything PIL/matplotlib lives in ``render_plot_arrays`` so
+    """DEVICE phase of plot generation: DISPATCH the cached jitted
+    generate / cond-generate / style-swap programs and return the result
+    pytree as device arrays (dispatch is async — this returns in
+    milliseconds; the download happens wherever the arrays are first
+    read, i.e. inside the render host-job). Everything PIL/matplotlib lives in ``render_plot_arrays`` so
     the eval round can hand rendering to the experiment's host worker and
     overlap it with the next scanned train epoch (the 1-core host idles
     inside the one-dispatch-per-epoch RPC; RESULTS_r3: rendering was the
@@ -127,8 +129,12 @@ def collect_plot_arrays(exp, state, epoch: int) -> Dict[str, Any]:
 
     rng = jax.random.PRNGKey((cfg.seed or 0) + 71)
     rng, r1, r2 = jax.random.split(rng, 3)
+    # DEVICE arrays, not downloads: dispatch is asynchronous, so the
+    # epoch path only pays enqueue cost; the blocking device→host
+    # transfer (the 3.9 s "collect" of the 15.6 s round, RESULTS_r3)
+    # happens in the render host-job via jax.device_get there.
     data: Dict[str, Any] = {
-        "gen": jax.device_get(rand_gen(state.params, state.batch_stats, r1))
+        "gen": rand_gen(state.params, state.batch_stats, r1)
     }
 
     try:
@@ -136,9 +142,7 @@ def collect_plot_arrays(exp, state, epoch: int) -> Dict[str, Any]:
         # fresh make_loaders() here would re-upload a full batch through
         # the host→device link every eval round (VERDICT r2 weak #4)
         test_batch, _ = next(iter(exp.eval_batches("test")))
-        data["cond"] = jax.device_get(
-            cond_gen(state.params, state.batch_stats, test_batch, r2)
-        )
+        data["cond"] = cond_gen(state.params, state.batch_stats, test_batch, r2)
     except Exception as e:
         log.debug(f"cond-gen plots skipped: {e}")
 
@@ -151,9 +155,7 @@ def collect_plot_arrays(exp, state, epoch: int) -> Dict[str, Any]:
                 return jax.jit(_make_swap(cfg, model, k))
 
             swap = exp.cached_jit("swap_program", build_swap)
-            data["swapped"] = jax.device_get(
-                swap(state.params, state.batch_stats, test_batch, rng)
-            )
+            data["swapped"] = swap(state.params, state.batch_stats, test_batch, rng)
             data["swap_k"] = k
         except Exception as e:
             log.debug(f"swap plots skipped: {e}")

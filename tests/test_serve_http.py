@@ -152,3 +152,67 @@ def test_char_text_endpoints_round_trip():
         assert status == 200
         decoded = json.loads(body)
         assert decoded[0].startswith("no acute findings$")
+
+
+def test_request_size_cap(server):
+    """Bodies above max_body_mb are rejected with 413 before being read."""
+    srv, sess, batch = server
+    srv._httpd.max_body_bytes = 1024  # shrink the cap for the test
+    try:
+        big = b"x" * 4096
+        code, body, _ = _post(srv, "/encode", body=big)
+        assert code == 413
+        assert b"exceeds limit" in body
+    finally:
+        srv._httpd.max_body_bytes = 64 * 1024 * 1024
+
+
+def test_generate_num_samples_cap(server):
+    srv, sess, batch = server
+    code, body, _ = _post(srv, "/generate?num_samples=100000")
+    assert code == 400
+    assert b"num_samples" in body
+    code, body, _ = _post(srv, "/generate?num_samples=0")
+    assert code == 400
+
+
+def test_inflight_backpressure(server):
+    """When max_inflight requests are already executing, the next request
+    sheds with 503 instead of piling up handler threads."""
+    import threading as th
+    import time
+
+    srv, sess, batch = server
+    release = th.Event()
+    orig_generate = sess.generate
+
+    def slow_generate(n, seed=0, compact=False):
+        release.wait(timeout=30)
+        return orig_generate(n, seed=seed, compact=compact)
+
+    gate = th.Semaphore(1)  # single-slot gate
+    old_gate = srv._httpd.inflight_gate
+    old_wait = srv._httpd.inflight_wait_s
+    srv._httpd.inflight_gate = gate
+    srv._httpd.inflight_wait_s = 0.2
+    sess.generate = slow_generate
+    try:
+        results = {}
+
+        def first():
+            results["first"] = _post(srv, "/generate?num_samples=2")
+
+        t = th.Thread(target=first)
+        t.start()
+        time.sleep(0.3)  # let the first request occupy the slot
+        code, body, _ = _post(srv, "/generate?num_samples=2")
+        assert code == 503
+        assert b"busy" in body
+        release.set()
+        t.join(timeout=30)
+        assert results["first"][0] == 200  # the occupant completed fine
+    finally:
+        sess.generate = orig_generate
+        srv._httpd.inflight_gate = old_gate
+        srv._httpd.inflight_wait_s = old_wait
+        release.set()
