@@ -201,6 +201,10 @@ class MopoeConfig:
     # it relies on NaN-restart supervision instead; clipping tames the
     # violent early-training landscape at lr ≥ 5e-4)
     grad_clip_norm: float = 0.0
+    # linear update ramp over the first N steps (0 = off): the opt-in
+    # stability fix for the 1x1-spatial BN blow-up at lr 5e-4
+    # (docs/STABILITY.md; train/state.make_optimizer)
+    lr_warmup_steps: int = 0
 
     # BatchNorm epsilon for the residual-block networks. torch default
     # 1e-5 = reference parity. The encoders end in BN at 1×1 spatial whose

@@ -105,7 +105,8 @@ def _tiny_cfg(n_global_devices: int):
     )
 
 
-def run(steps: int = 2, emulate_shards: int = 0) -> dict:
+def run(steps: int = 2, emulate_shards: int = 0,
+        ckpt_dir: str | None = None) -> dict:
     """The validation body; call after (optional) distributed init.
 
     ``emulate_shards`` (single-process only): build the streaming batch
@@ -227,11 +228,70 @@ def run(steps: int = 2, emulate_shards: int = 0) -> dict:
     scan_loss = float(jax.device_get(avg["total_loss"]))
     assert np.isfinite(scan_loss), scan_loss
 
+    # --- multi-host checkpoint: single-writer save, every-rank restore --
+    # Reference parity: rank 0 is the only writer
+    # (mimic/utils/experiment.py:391-393). Under a multi-controller
+    # runtime the correct form of "rank-0-only" is orbax's primary-host
+    # protocol: EVERY rank enters save()/restore() (orbax synchronizes
+    # them with cross-process barriers and would deadlock a lone caller),
+    # and only the primary host touches the shared filesystem.
+    ckpt_restored_equal = None
+    loss_eval_restored = None
+    if ckpt_dir is not None:
+        from mopoe_mimic_tpu.train.step import make_eval_step
+        from mopoe_mimic_tpu.utils.checkpoints import CheckpointManager
+
+        mgr = CheckpointManager(ckpt_dir, async_save=False)
+        mgr.save(0, jax.device_get(state), force=True)
+        mgr.wait_until_finished()
+        _barrier("ckpt_saved")
+        template = create_train_state(cfg, jax.random.PRNGKey(0), expected)
+        epoch_r, restored = mgr.restore(template)
+        mgr.close()
+        assert epoch_r == 0, epoch_r
+        # every rank's restored params must equal the live trained state
+        live = jax.device_get(state.params)
+        flat_live = jax.tree_util.tree_leaves(live)
+        flat_rest = jax.tree_util.tree_leaves(restored.params)
+        local_equal = all(
+            np.allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)
+            for a, b in zip(flat_live, flat_rest)
+        )
+        # ... and identical ACROSS ranks: allgather a content fingerprint
+        fp = np.asarray(
+            [float(np.asarray(x, np.float64).sum()) for x in flat_rest],
+            np.float64,
+        )
+        _barrier("ckpt_fingerprint")
+        all_fp = np.asarray(multihost_utils.process_allgather(fp))
+        all_fp = all_fp.reshape(n_proc, -1)
+        ckpt_restored_equal = bool(
+            local_equal and (all_fp == all_fp[0]).all()
+        )
+        assert ckpt_restored_equal, (
+            "restored checkpoint state differs from live state or "
+            "across controllers"
+        )
+        # one eval-suite call from the RESTORED state under
+        # process_count>1: the jitted eval step over the global mesh —
+        # every rank must compute the identical metric
+        restored = replicate_state(mesh, restored)
+        eval_step = make_eval_step(cfg)
+        eval_rng = jax.random.PRNGKey(7)
+        _precompile(eval_step, restored, global_batch, eval_rng)
+        _barrier("eval_step_compiled")
+        ev = eval_step(restored, global_batch, eval_rng)
+        loss_eval_restored = float(jax.device_get(ev["total_loss"]))
+        assert np.isfinite(loss_eval_restored)
+
     # --- cross-process agreement ---------------------------------------
     _barrier("final_allgather")
+    tail = [scan_loss] + (
+        [loss_eval_restored] if loss_eval_restored is not None else []
+    )
     all_losses = np.asarray(
         multihost_utils.process_allgather(
-            np.asarray(losses + store_losses + [scan_loss], np.float64)
+            np.asarray(losses + store_losses + tail, np.float64)
         )
     ).reshape(n_proc, -1)
     agree = bool((all_losses == all_losses[0]).all())
@@ -247,6 +307,8 @@ def run(steps: int = 2, emulate_shards: int = 0) -> dict:
         "losses_stream": losses,
         "losses_store": store_losses,
         "loss_scan_epoch": scan_loss,
+        "ckpt_restored_equal": ckpt_restored_equal,
+        "loss_eval_restored": loss_eval_restored,
         "cross_process_agreement": agree,
     }
 
@@ -264,6 +326,10 @@ def main(argv=None) -> int:
                     help="single-process control: reproduce the batch "
                     "ordering of a K-process launch (see run())")
     ap.add_argument("--out", default=None, help="write the report JSON here")
+    ap.add_argument("--ckpt-dir", default=None,
+                    help="shared dir for the multi-host checkpoint phase: "
+                    "rank 0 saves, every rank restores + verifies "
+                    "(reference rank-0-only save, experiment.py:391-393)")
     args = ap.parse_args(argv)
 
     import jax
@@ -281,7 +347,8 @@ def main(argv=None) -> int:
             process_id=args.process_id,
         )
 
-    report = run(steps=args.steps, emulate_shards=args.emulate_shards)
+    report = run(steps=args.steps, emulate_shards=args.emulate_shards,
+                 ckpt_dir=args.ckpt_dir)
     out = json.dumps(report)
     print(out, flush=True)
     if args.out:

@@ -31,13 +31,33 @@ def make_optimizer(cfg: MopoeConfig) -> optax.GradientTransformation:
     """Adam with the reference hyperparameters (experiment.py:171-178);
     learning rate injected as a mutable hyperparameter so the
     ReduceLROnPlateau callback can scale it from the host without
-    recompiling. Optional global-norm clipping (grad_clip_norm > 0)."""
+    recompiling. Optional global-norm clipping (grad_clip_norm > 0).
+
+    ``lr_warmup_steps > 0`` multiplies the update by a linear 1/N → 1
+    ramp over the first N steps (a trailing scale_by_schedule, so it
+    composes with the plateau callback's lr mutation). This is the
+    stability mitigation for the reference architecture's 1×1-spatial
+    BatchNorm blow-up at lr 5e-4 (docs/STABILITY.md): Adam's first steps
+    are ±lr sign-steps, and before the BN statistics calibrate, a full
+    5e-4 nudge swings the logvar head past exp() overflow. The reference
+    "handles" this with its NaN-restart supervision loop
+    (main_mimic.py:100-124); warmup removes the crash instead of
+    retrying it, without touching the architecture."""
     adam = optax.inject_hyperparams(optax.adam)(
         learning_rate=cfg.initial_learning_rate, b1=cfg.beta_1, b2=cfg.beta_2
     )
+    parts = []
     if cfg.grad_clip_norm > 0:
-        return optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), adam)
-    return adam
+        parts.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
+    parts.append(adam)
+    if getattr(cfg, "lr_warmup_steps", 0) > 0:
+        n = cfg.lr_warmup_steps
+
+        def ramp(step):
+            return jnp.minimum(1.0, (step + 1.0) / n)
+
+        parts.append(optax.scale_by_schedule(ramp))
+    return optax.chain(*parts) if len(parts) > 1 else adam
 
 
 def create_train_state(

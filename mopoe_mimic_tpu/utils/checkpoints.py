@@ -139,8 +139,13 @@ class CheckpointManager:
         force: bool = False,
         metrics: Optional[Dict[str, Any]] = None,
     ) -> None:
-        if jax.process_index() != 0:
-            return  # rank-0-only semantics (experiment.py:391-393)
+        # Single-writer semantics (reference: rank-0-only,
+        # experiment.py:391-393) are delegated to orbax's primary-host
+        # protocol: in a multi-controller runtime EVERY process must
+        # enter save() — orbax synchronizes them with cross-process
+        # barriers and only the primary host writes; an early return on
+        # non-zero ranks deadlocks rank 0 inside ocp.CheckpointManager
+        # (found by the 2-process spmd test's checkpoint phase).
         if self._staged is not None:
             # keep orbax steps monotonic: write (or drop, if same-epoch)
             # the pending staged best before this newer save
@@ -170,9 +175,11 @@ class CheckpointManager:
         zero link traffic — see _device_copy: a bare reference dies when
         the next dispatch donates the buffers); the download + orbax
         write happen at the next flush_staged() (boundary/stop/close/
-        read). A newer stage() replaces an unflushed older one."""
-        if jax.process_index() != 0:
-            return
+        read). A newer stage() replaces an unflushed older one.
+
+        Every process stages (cheap device copy): the eventual
+        flush_staged()→save() must be entered by ALL ranks for orbax's
+        primary-host write protocol — see save()."""
         self._staged = (epoch, _device_copy(state), metrics)
 
     def flush_staged(self) -> None:

@@ -302,3 +302,68 @@ def test_inception_functional_parity_with_torch():
                     jnp.asarray(x), train=False)
     )
     np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_full_fid_pipeline_with_synthetic_pt_weights(tmp_path):
+    """VERDICT r3 #7 — pipeline-level FID integration with REAL-format
+    weights: write a torchvision-format pt_inception state dict to DISK,
+    point cfg.inception_state_dict at it, and verify
+
+      1. make_default_embedder selects the InceptionV3 loader (2048-d
+         features), not the ClfImg fallback;
+      2. the loader's full embed pipeline (gray→RGB, bilinear 299 resize,
+         (0,1)→(-1,1), batching + tail padding) reproduces the executed
+         torch FID-Inception pipeline on the same file;
+      3. calc_prd_score runs end-to-end through that embedder.
+    """
+    import torch
+
+    from mopoe_mimic_tpu.config import MopoeConfig
+    from mopoe_mimic_tpu.evaluation.embedding import make_default_embedder
+    from mopoe_mimic_tpu.evaluation.sample_quality import calc_prd_score
+    from mopoe_mimic_tpu.experiment import Experiment
+
+    torch.manual_seed(0)
+    net = _torch_fid_inception()
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.weight.uniform_(0.8, 1.2)
+                m.bias.normal_(0, 0.05)
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.8, 1.2)
+            elif isinstance(m, torch.nn.Conv2d):
+                fan_in = m.weight.shape[1] * m.weight.shape[2] * m.weight.shape[3]
+                m.weight.normal_(0, 1.0 / fan_in ** 0.5)
+    net.eval()
+    sd_path = str(tmp_path / "pt_inception-synth.pth")
+    torch.save(net.state_dict(), sd_path)
+
+    cfg = MopoeConfig(
+        method="joint_elbo", dataset="testing", batch_size=4, class_dim=4,
+        DIM_img=2, DIM_text=2, img_size=64, text_encoding="word",
+        vocab_size=30, compute_dtype="float32", calc_prd=True,
+        num_samples_fid=8, dir_experiment=str(tmp_path / "runs"),
+        inception_state_dict=sd_path, seed=0,
+    )
+    exp = Experiment(cfg)
+
+    # 1. the real-weight path is selected
+    embed = make_default_embedder(exp)
+    gray = np.random.default_rng(5).random((6, 64, 64, 1)).astype(np.float32)
+    acts = embed(gray)  # 6 rows through a batch of 4 + padded tail of 2
+    assert acts.shape == (6, 2048)
+
+    # 2. pipeline parity vs the executed torch pipeline on the same file
+    with torch.no_grad():
+        xt = torch.from_numpy(gray.transpose(0, 3, 1, 2)).repeat(1, 3, 1, 1)
+        xt = torch.nn.functional.interpolate(
+            xt, size=(299, 299), mode="bilinear", align_corners=False)
+        ref = net(2.0 * xt - 1.0).numpy()
+    np.testing.assert_allclose(acts, ref, rtol=2e-2, atol=5e-3)
+
+    # 3. the complete PRD path through this embedder
+    state = exp.init_state()
+    prd = calc_prd_score(exp, state, embed, max_batches=1)
+    assert prd and all(np.isfinite(v) for v in prd.values()), prd

@@ -64,10 +64,12 @@ def _launch(extra_args, n_local_devices, out_path, timeout=600):
 def test_two_process_spmd_matches_single_controller(tmp_path):
     port = _free_port()
     outs = [str(tmp_path / f"proc{i}.json") for i in range(2)]
+    ckpt_dir = str(tmp_path / "shared_ckpt")
     procs = [
         _launch(
             ["--coordinator", f"localhost:{port}",
-             "--num-processes", "2", "--process-id", str(i)],
+             "--num-processes", "2", "--process-id", str(i),
+             "--ckpt-dir", ckpt_dir],
             n_local_devices=4,
             out_path=outs[i],
         )
@@ -76,7 +78,7 @@ def test_two_process_spmd_matches_single_controller(tmp_path):
     logs = []
     for p in procs:
         try:
-            stdout, _ = p.communicate(timeout=600)
+            stdout, _ = p.communicate(timeout=1200)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -97,13 +99,20 @@ def test_two_process_spmd_matches_single_controller(tmp_path):
     assert reports[0]["losses_stream"] == reports[1]["losses_stream"]
     assert reports[0]["losses_store"] == reports[1]["losses_store"]
     assert reports[0]["loss_scan_epoch"] == reports[1]["loss_scan_epoch"]
+    # multi-host checkpoint semantics (VERDICT r3 #5): rank 0 saved, BOTH
+    # controllers restored the identical state and computed the identical
+    # eval metric from it
+    for r in reports:
+        assert r["ckpt_restored_equal"] is True
+        assert np.isfinite(r["loss_eval_restored"])
+    assert reports[0]["loss_eval_restored"] == reports[1]["loss_eval_restored"]
 
     # single-controller control run: 8 local devices, same global mesh,
     # same assembled batch ordering
     ctrl_out = str(tmp_path / "ctrl.json")
     ctrl = _launch(["--emulate-shards", "2"], n_local_devices=8,
                    out_path=ctrl_out)
-    stdout, _ = ctrl.communicate(timeout=600)
+    stdout, _ = ctrl.communicate(timeout=1200)
     assert ctrl.returncode == 0, f"control failed:\n{stdout[-4000:]}"
     c = json.load(open(ctrl_out))
     assert c["ok"] and c["num_processes"] == 1 and c["global_devices"] == 8
