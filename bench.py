@@ -31,6 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="tiny shapes smoke run")
+    ap.add_argument("--config", default="flagship",
+                    choices=["flagship", "char", "img256"],
+                    help="flagship = word/128px; char = the reference's "
+                    "default char-1024 encoding; img256 = 256px images")
     ap.add_argument("--steps", type=int, default=100, help="steps per timing window")
     ap.add_argument("--repeats", type=int, default=5, help="timing windows (median reported)")
     ap.add_argument("--warmup", type=int, default=10)
@@ -117,7 +121,17 @@ def main():
             batch_size=args.batch or 8, compute_dtype="float32",
         )
     else:
-        cfg = MopoeConfig(
+        # non-flagship variants (--config): the reference's DEFAULT text
+        # encoding is char-1024 (flags.py:157) and its large-image mode is
+        # 256px (FeatureExtractorImg.py:41-59) — both measured under the
+        # same value-fetch protocol as the flagship (VERDICT r3 #3)
+        variant = dict(
+            flagship=dict(),
+            char=dict(text_encoding="char", vocab_size=71),
+            img256=dict(img_size=256,
+                        batch_size=args.batch or (64 * n_chips if on_tpu else 8)),
+        )[args.config]
+        cfg = MopoeConfig(**{**dict(
             method="joint_elbo", dataset="testing", img_size=128, DIM_img=64,
             DIM_text=64, class_dim=64, text_encoding="word", vocab_size=3517,
             initial_learning_rate=5e-4, donate_state=on_tpu,
@@ -125,7 +139,7 @@ def main():
             compute_dtype="float32" if args.fp32 else "bfloat16",
             # 256/chip = the reference's own cluster batch (job_mimic.sh:26)
             batch_size=args.batch or (256 * n_chips if on_tpu else 16),
-        )
+        ), **variant})
 
     # default = the reference-precision PARITY config — the driver-graded
     # number is the apples-to-apples one (VERDICT r3 weak #5). --diet
@@ -251,7 +265,8 @@ def main():
         if ref_sps:
             vs_baseline = per_chip / ref_sps
 
-    suffix = "_stream" if args.stream else ""
+    suffix = "" if args.config == "flagship" else f"_{args.config}"
+    suffix += "_stream" if args.stream else ""
     suffix += "_uint8" if args.uint8 else ""
     suffix += "_devstore" if args.device_store else ""
     suffix += "_perstep" if args.per_step else ""
@@ -262,7 +277,7 @@ def main():
              else "; reference-precision parity config"
              if (not args.quick and not args.fp32) else "")
     print(json.dumps({
-        "metric": f"train_samples_per_sec_per_chip_mopoe128{suffix}",
+        "metric": f"train_samples_per_sec_per_chip_mopoe{cfg.img_size}{suffix}",
         "value": round(per_chip, 2),
         "unit": "samples/sec/chip",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,

