@@ -57,11 +57,20 @@ class ExperimentDataframe:
         flat = flatten_metrics(dict(values), sep="_")
         df = self._load()
         mask = df["str_experiment"] == self.run_name
+        # add all missing columns in ONE concat (inserting hundreds of
+        # eval columns one-by-one fragments the frame — pandas
+        # PerformanceWarning, and a real slowdown at the 292-col scale)
+        missing = [k for k in flat if k not in df.columns]
+        if missing:
+            new_cols = pd.DataFrame({
+                k: pd.Series([None] * len(df), dtype="object")
+                if isinstance(flat[k], str) else
+                pd.Series([float("nan")] * len(df))
+                for k in missing
+            })
+            df = pd.concat([df, new_cols], axis=1)
         for k, v in flat.items():
-            if k not in df.columns:
-                df[k] = pd.Series([None] * len(df), dtype="object") \
-                    if isinstance(v, str) else float("nan")
-            elif isinstance(v, str) and df[k].dtype != object:
+            if isinstance(v, str) and df[k].dtype != object:
                 df[k] = df[k].astype(object)
             df.loc[mask, k] = v
         self._write(df)
