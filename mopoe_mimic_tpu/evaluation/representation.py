@@ -183,6 +183,10 @@ def train_clf_lr_all_subsets(exp, state, mesh=None) -> LatentClassifier:
 
 
 def test_clf_lr_all_subsets(exp, state, clf: LatentClassifier, mesh=None) -> Dict[str, Dict[str, float]]:
+    """Evaluate the latent LR classifiers (reference representation.py:91).
+
+    Library function, not a pytest test — the name keeps reference parity.
+    """
     cfg = exp.cfg
     test_loader = exp.eval_batches("test")
     data, labels = collect_subset_means(
@@ -195,3 +199,7 @@ def test_clf_lr_all_subsets(exp, state, clf: LatentClassifier, mesh=None) -> Dic
         m = Metrics(p, labels, exp.labels)
         results[s_key] = {k: v[0] for k, v in m.evaluate().items()}
     return results
+
+
+# keep pytest from collecting the reference-parity-named library function
+test_clf_lr_all_subsets.__test__ = False

@@ -107,6 +107,7 @@ def run_epochs(
     train_avg: Dict[str, Any] = {}
     test_avg: Dict[str, Any] = {}
     epoch_times = []
+    history = []  # per-epoch (train_loss, test_loss) — convergence studies
     preempted = False
 
     def run_heavy_evals(epoch: int) -> None:
@@ -216,6 +217,11 @@ def run_epochs(
             elapsed = time.time() - t0
             epoch_times.append(elapsed)
             test_loss = float(test_avg["total_loss"])
+            history.append({
+                "epoch": epoch,
+                "train_loss": float(train_avg["total_loss"]),
+                "test_loss": test_loss,
+            })
             log.info(
                 f"epoch {epoch}: train_loss={float(train_avg['total_loss']):.4f} "
                 f"test_loss={test_loss:.4f} ({elapsed:.1f}s: "
@@ -258,6 +264,7 @@ def run_epochs(
         exp.checkpoints.wait_until_finished()
 
     return {"state": state, "train": train_avg, "test": last_test,
+            "history": history,
             "epochs_run": len(epoch_times), "preempted": preempted,
             "mean_epoch_time": float(np.mean(epoch_times)) if epoch_times else 0.0}
 

@@ -15,8 +15,12 @@ import numpy as np
 import pytest
 
 from mopoe_mimic_tpu.config import MopoeConfig
+# aliased on import: pytest would otherwise collect the library function
+# `test_clf_lr_all_subsets` (reference-parity name, representation.py:91
+# upstream) as a test and ERROR on its missing fixtures, aborting -x lanes
 from mopoe_mimic_tpu.evaluation.representation import (
-    test_clf_lr_all_subsets, train_clf_lr_all_subsets,
+    test_clf_lr_all_subsets as eval_clf_lr_all_subsets,
+    train_clf_lr_all_subsets,
 )
 from mopoe_mimic_tpu.experiment import Experiment
 from mopoe_mimic_tpu.train.loop import run_epochs
@@ -44,7 +48,7 @@ def test_lr_eval_ranks_undertrained_below_trained(tmp_path):
         result = run_epochs(exp)
         state = result["state"]
         clf = train_clf_lr_all_subsets(exp, state)
-        lr_eval = test_clf_lr_all_subsets(exp, state, clf)
+        lr_eval = eval_clf_lr_all_subsets(exp, state, clf)
         return _mean_ap(lr_eval), float(result["test"]["total_loss"])
 
     ap_short, loss_short = train_and_eval(1)
