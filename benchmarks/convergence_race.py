@@ -204,6 +204,8 @@ def run_torch(seed: int, epochs: int, out_path: str):
               "race": RACE}
     with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
+    # trained weights: the shared checkpoint for benchmarks/eval_parity.py
+    torch.save(model.state_dict(), out_path.replace(".json", ".pt"))
     print(json.dumps({k: result[k] for k in
                       ("side", "seed", "mean_ap", "wall_sec")}))
 

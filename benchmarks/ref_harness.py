@@ -110,6 +110,7 @@ def load_reference():
     ss = types.ModuleType("mimic.utils.save_samples")
     ss.write_samples_img_to_file = lambda *a, **k: None
     ss.write_samples_text_to_file = lambda *a, **k: None
+    ss.save_generated_samples_singlegroup = lambda *a, **k: None
     sys.modules["mimic.utils.save_samples"] = ss
     pl = types.ModuleType("mimic.utils.plot")
     pl.text_to_pil = lambda *a, **k: None
@@ -136,6 +137,68 @@ def load_reference():
         MimicPA=pa.MimicPA, MimicLateral=lat.MimicLateral,
         MimicText=txt.MimicText,
     )
+
+
+def load_reference_eval(ref):
+    """Additionally load the reference's EVAL stack — the real
+    eval_metrics/{representation,coherence,likelihood}.py with their real
+    dependency chain (dataio loaders, Metrics, text codec), for the
+    whole-suite eval-parity run (benchmarks/eval_parity.py).
+
+    Returns a namespace with the three eval modules + text utils.
+    Call after load_reference() (reuses its module graph)."""
+    # the real text codec (tensor_to_text/seq2text) replaces the stub
+    text_mod = _load("mimic.utils.text", "mimic/utils/text.py")
+    sys.modules["mimic"].utils = sys.modules["mimic.utils"]
+    sys.modules["mimic.utils"].text = text_mod
+
+    fh = _load("mimic.utils.filehandling", "mimic/utils/filehandling.py")
+    sys.modules["mimic.utils"].filehandling = fh
+
+    # torchvision stub needs the names dataio.utils touches at def time
+    tv = sys.modules["torchvision"]
+    for name in ("Compose", "ToPILImage", "Resize", "ToTensor", "Normalize",
+                 "CenterCrop", "FiveCrop", "TenCrop", "Lambda", "Grayscale"):
+        setattr(tv.transforms, name,
+                (lambda *a, **k: (lambda x: x)))
+
+    dataio_pkg = types.ModuleType("mimic.dataio")
+    sys.modules["mimic.dataio"] = dataio_pkg
+    sys.modules["mimic"].dataio = dataio_pkg
+    dio = _load("mimic.dataio.utils", "mimic/dataio/utils.py")
+    dataio_pkg.utils = dio
+
+    # experiment shim: eval modules import MimicExperiment for type hints
+    exp_stub = types.ModuleType("mimic.utils.experiment")
+    exp_stub.MimicExperiment = type("MimicExperiment", (), {})
+    sys.modules["mimic.utils.experiment"] = exp_stub
+
+    chex = sys.modules["mimic.networks.CheXNet"]
+    chex.CheXNet = object  # classifiers.utils imports it; never built here
+
+    clf_pkg = types.ModuleType("mimic.networks.classifiers")
+    sys.modules["mimic.networks.classifiers"] = clf_pkg
+    sys.modules["mimic.networks"].classifiers = clf_pkg
+    _load("mimic.networks.ConvNetworkImgClf",
+          "mimic/networks/ConvNetworkImgClf.py")
+    _load("mimic.networks.ConvNetworkTextClf",
+          "mimic/networks/ConvNetworkTextClf.py")
+    clf_utils = _load("mimic.networks.classifiers.utils",
+                      "mimic/networks/classifiers/utils.py")
+    clf_pkg.utils = clf_utils
+
+    em_pkg = types.ModuleType("mimic.evaluation.eval_metrics")
+    sys.modules["mimic.evaluation.eval_metrics"] = em_pkg
+    sys.modules["mimic.evaluation"].eval_metrics = em_pkg
+    rep = _load("mimic.evaluation.eval_metrics.representation",
+                "mimic/evaluation/eval_metrics/representation.py")
+    coh = _load("mimic.evaluation.eval_metrics.coherence",
+                "mimic/evaluation/eval_metrics/coherence.py")
+    lik = _load("mimic.evaluation.eval_metrics.likelihood",
+                "mimic/evaluation/eval_metrics/likelihood.py")
+    return SimpleNamespace(representation=rep, coherence=coh,
+                           likelihood=lik, text=text_mod,
+                           Metrics=clf_utils.Metrics)
 
 
 def make_flags(method="joint_elbo", *, dim=8, class_dim=16, img_size=64,

@@ -49,6 +49,11 @@ def main():
                     help="train with the production byte-diet "
                     "(bn_compute_dtype=compute + fused_text_head, the "
                     "bench.py default config) instead of the parity config")
+    ap.add_argument("--no-evals", action="store_true",
+                    help="loss-only epochs, no heavy eval suite — for "
+                    "checkpoint-producing runs whose metrics are computed "
+                    "afterwards under one matched eval program "
+                    "(benchmarks/diet_matched_eval.py)")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -86,7 +91,8 @@ def main():
         batch_size=args.batch, initial_learning_rate=args.lr,
         end_epoch=args.epochs, eval_freq=args.eval_freq,
         eval_freq_fid=args.eval_freq,
-        eval_lr=True, use_clf=True, calc_nll=True, calc_prd=True,
+        eval_lr=not args.no_evals, use_clf=not args.no_evals,
+        calc_nll=not args.no_evals, calc_prd=not args.no_evals,
         eval_max_batches=0, clf_quick_epochs=0,
         max_early_stopping_index=1000,
         device_resident_data=True,
