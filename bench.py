@@ -255,15 +255,29 @@ def main():
     samples_per_sec = cfg.batch_size * args.steps / dt
     per_chip = samples_per_sec / n_chips
 
+    # strongest measured reference floor across eager + compiled sweeps
+    # (VERDICT r4 #4: the graded ratio divides by the best the reference
+    # managed on this machine, and the protocol string names that cell)
     vs_baseline = None
-    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "BASELINE_MEASURED.json")
-    if os.path.exists(baseline_path):
-        with open(baseline_path) as f:
+    floor_sps, floor_desc = None, ""
+    here = os.path.dirname(os.path.abspath(__file__))
+    for fname in ("BASELINE_MEASURED.json", "BASELINE_MEASURED_COMPILED.json"):
+        path = os.path.join(here, fname)
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
             ref = json.load(f)
         ref_sps = ref.get("reference_samples_per_sec")
-        if ref_sps:
-            vs_baseline = per_chip / ref_sps
+        if ref_sps and (floor_sps is None or ref_sps > floor_sps):
+            cell = ref.get("strongest_cell", {})
+            floor_sps = ref_sps
+            floor_desc = (
+                f"{ref.get('reference_hardware', 'cpu')}"
+                + (f" batch {cell['batch']} lr {cell['lr']} {cell['mode']}"
+                   if cell else "")
+            )
+    if floor_sps:
+        vs_baseline = per_chip / floor_sps
 
     suffix = "" if args.config == "flagship" else f"_{args.config}"
     suffix += "_stream" if args.stream else ""
@@ -284,7 +298,10 @@ def main():
         "spread_pct": round(spread_pct, 1),
         "protocol": f"median of {repeats}x{args.steps}-step windows, "
                     f"{mode}, value-fetch clock (block_until_ready is "
-                    f"async through the axon tunnel)",
+                    f"async through the axon tunnel)"
+                    + (f"; baseline floor: strongest measured reference "
+                       f"cell [{floor_desc}] at {floor_sps:.2f} samples/s"
+                       if floor_sps else ""),
     }))
 
 

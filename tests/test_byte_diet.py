@@ -37,6 +37,7 @@ def _loss_and_grad(enc, x):
     return loss, grads
 
 
+@pytest.mark.slow  # >30s on the 1-core box; excluded from the fast gate
 def test_remat_blocks_is_numerics_identical_in_f32():
     x = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 64, 1))
     base = EncoderImg(dim=2, class_dim=6, img_size=64, remat=False)

@@ -214,6 +214,7 @@ def test_eval_suite_runs_from_device_store(tmp_path):
     assert getattr(exp, "_fid_embedder", None) is not None
 
 
+@pytest.mark.slow  # >30s on the 1-core box; excluded from the fast gate
 def test_iter_epoch_weighted_oversamples_rare_combo():
     """weighted=True draws by inverse label-combination frequency
     (WeightedRandomSampler parity, dataio/utils.py:81-94)."""

@@ -1,3 +1,4 @@
+import pytest
 """Exploration toolkit (examples/explore.py — script-form parity for the
 reference's mimic/notebooks/: data visualization + model exploration)."""
 
@@ -61,6 +62,7 @@ def test_explore_data_writes_grids_and_stats(tmp_path):
     assert len(lines) == 4  # header + 3 CheXpert labels
 
 
+@pytest.mark.slow  # >30s on the 1-core box; excluded from the fast gate
 def test_explore_model_writes_all_artifacts(tmp_path):
     cfg = _cfg(tmp_path)
     run_dir = _fake_run_dir(tmp_path, cfg)

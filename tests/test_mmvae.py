@@ -44,6 +44,7 @@ def _init(cfg, batch):
     return model, variables
 
 
+@pytest.mark.slow  # >70s on the 1-core box; excluded from the fast gate
 @pytest.mark.parametrize("method", ["joint_elbo", "moe", "poe", "jsd"])
 def test_forward_structure_per_method(method):
     cfg = MopoeConfig(method=method, **TINY)

@@ -122,6 +122,7 @@ def test_block_fused_is_dropin(cls_name, kwargs, shape):
         unf.apply(vu, x, False), fus.apply(vu, x, False), rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow  # >30s on the 1-core box; excluded from the fast gate
 def test_train_step_loss_parity_fused_pointwise():
     """Whole-model check: a jitted train step with cfg.fused_pointwise
     tracks the unfused step's loss from identical init over several

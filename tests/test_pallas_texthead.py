@@ -120,6 +120,7 @@ def test_fused_head_param_tree_identical():
     assert paths_f == paths_u  # checkpoints interchangeable
 
 
+@pytest.mark.slow  # >30s on the 1-core box; excluded from the fast gate
 def test_fused_head_train_step_matches_unfused():
     from mopoe_mimic_tpu.train.step import make_train_step
 
@@ -151,6 +152,7 @@ def test_fused_head_train_step_matches_unfused():
     assert float(jnp.max(jnp.abs(k_after - k_init))) > 0.0
 
 
+@pytest.mark.slow  # >30s on the 1-core box; excluded from the fast gate
 def test_fused_head_under_scanned_epoch():
     """The production path is one lax.scan per epoch (train/scan.py);
     the fused kernel must trace/execute inside the scan body and match

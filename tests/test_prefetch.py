@@ -88,6 +88,7 @@ def test_quantize_batch_uint8_roundtrip():
                                   batch["onehot"])  # {0,1} is lossless
 
 
+@pytest.mark.slow  # >30s on the 1-core box; excluded from the fast gate
 def test_train_step_accepts_uint8_batch():
     """transfer_uint8 end-to-end: the jitted step dequantizes on device and
     produces a loss close to the float-fed step."""

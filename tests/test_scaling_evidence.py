@@ -30,6 +30,10 @@ from mopoe_mimic_tpu.data.loader import BatchLoader
 from mopoe_mimic_tpu.data.synthetic import SyntheticMimic
 from mopoe_mimic_tpu.parallel.mesh import replicate_state, shard_batch
 from mopoe_mimic_tpu.train.state import create_train_state
+
+# the module fixture compiles sharded steps for three mesh sizes (~2.5 min
+# on the 1-core box) — full-suite / distributed lanes only, not the fast gate
+pytestmark = pytest.mark.slow
 from mopoe_mimic_tpu.train.step import make_train_step
 
 GLOBAL_BATCH = 16

@@ -1,3 +1,4 @@
+import pytest
 """Text-only model (parity: VAETextMimic, VAEtrimodalMimic.py:166-256 —
 selected by --only_text_modality): single modality, single subset, full
 train step."""
@@ -11,6 +12,7 @@ from mopoe_mimic_tpu.data.synthetic import SyntheticMimic
 from mopoe_mimic_tpu.train import create_train_state, make_train_step
 
 
+@pytest.mark.slow  # >30s on the 1-core box; excluded from the fast gate
 def test_text_only_model_trains():
     cfg = MopoeConfig(
         method="joint_elbo", dataset="testing", only_text_modality=True,

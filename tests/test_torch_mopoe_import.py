@@ -256,6 +256,7 @@ def test_char_text_paths_match_reference_numerically(ref):
     _assert_close(text_j, text_t)
 
 
+@pytest.mark.slow  # >30s on the 1-core box; excluded from the fast gate
 def test_converted_tree_matches_mmvae_init_exactly(ref):
     """The converted pytree is drop-in for MMVae.init's variables: same
     structure, same shapes — and the full model runs with it."""

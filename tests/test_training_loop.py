@@ -62,6 +62,7 @@ def test_resume_at_end_returns_without_error(tmp_path):
     assert result["mean_epoch_time"] == 0.0
 
 
+@pytest.mark.slow  # >30s on the 1-core box; excluded from the fast gate
 def test_early_stop_triggers_final_heavy_evals(tmp_path, monkeypatch):
     """An early-stopped run re-runs the heavy eval suite at the stopping
     epoch instead of shipping eval_freq-stale metrics (VERDICT r2 weak #2)."""
@@ -85,6 +86,7 @@ def test_early_stop_triggers_final_heavy_evals(tmp_path, monkeypatch):
     assert calls[-1] == result["epochs_run"] - 1
 
 
+@pytest.mark.slow  # >30s on the 1-core box; excluded from the fast gate
 def test_missing_eval_deps_warn_loudly(tmp_path, monkeypatch, caplog):
     """A missing sklearn/scipy must produce a WARNING, not a silent pass
     (VERDICT r2 weak #1)."""
