@@ -57,6 +57,9 @@ def _force_cpu():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
+CLF_EPOCHS = 6
+
+
 def _race_cfg(det_z: bool):
     cfg = make_cfg(seed=0, epochs=1)
     # det_z is applied by monkeypatching reparameterize on each side, not
@@ -66,7 +69,9 @@ def _race_cfg(det_z: bool):
     # enough — their absolute quality is not under test
     return cfg.replace(
         eval_lr=True, use_clf=True, calc_nll=True, calc_prd=False,
-        eval_batch_size=EVAL_BS, num_imp_samples=6, clf_quick_epochs=6,
+        eval_batch_size=EVAL_BS, num_imp_samples=6,
+        clf_quick_epochs=CLF_EPOCHS,
+        dir_clf="/tmp/race_clf",  # default ../clf would land outside /tmp
     )
 
 
@@ -176,6 +181,17 @@ def run_ref(ckpt_path: str, det_z: bool, out_path: str):
 
     ref = H.load_reference()
     ev = H.load_reference_eval(ref)
+
+    # sklearn >=1.7 removed LogisticRegression(multi_class=...) — the
+    # reference passes 'auto', which is the only (and default) behavior
+    # now, so swallowing the kwarg is semantics-preserving
+    from sklearn.linear_model import LogisticRegression as _LR
+
+    def _compat_lr(**k):
+        k.pop("multi_class", None)
+        return _LR(**k)
+
+    ev.representation.LogisticRegression = _compat_lr
     flags = H.make_flags(RACE["method"], dim=RACE["dim"],
                          class_dim=RACE["class_dim"],
                          img_size=RACE["img_size"],
@@ -211,9 +227,9 @@ def run_ref(ckpt_path: str, det_z: bool, out_path: str):
 
     evaluator = load_or_train_classifiers(our_exp)
     clfs = {
-        "PA": _WrappedClf(evaluator.predict_fns["PA"], "img"),
-        "Lateral": _WrappedClf(evaluator.predict_fns["Lateral"], "img"),
-        "text": _WrappedClf(evaluator.predict_fns["text"], "text"),
+        "PA": _WrappedClf(evaluator.clf_predict["PA"], "img"),
+        "Lateral": _WrappedClf(evaluator.clf_predict["Lateral"], "img"),
+        "text": _WrappedClf(evaluator.clf_predict["text"], "text"),
     }
 
     # the eval-stack experiment shim (MimicExperiment surface used by
@@ -319,14 +335,26 @@ def report():
 
 
 def _match_key(ref_key, ours: dict):
-    """Map reference metric paths to ours (best-effort; unmatched keys
-    are listed separately by the caller)."""
-    if ref_key in ours:
-        return ref_key
-    return _KEYMAP.get(ref_key) if _KEYMAP.get(ref_key) in ours else None
-
-
-_KEYMAP: dict = {}
+    """Map the reference's nested metric path to our flattened key
+    (run_eval_suite returns flatten_metrics-style underscore keys)."""
+    parts = ref_key.split("/")
+    cand = None
+    if parts[0] == "lr_eval":
+        cand = "lr_eval_" + "_".join(parts[1:])
+    elif parts[0] == "gen_eval" and parts[1] == "random":
+        cand = f"gen_eval_random_coherence_{parts[2]}"
+    elif parts[0] == "gen_eval" and parts[1] == "cond":
+        cand = "gen_eval_cond_coherence_" + "_".join(parts[2:])
+    elif parts[0] == "text_gen_eval":
+        m = parts[-1]
+        if m.startswith("bleu") and len(m) == 5:  # bleu1..bleu4 → bleu_1..
+            m = f"bleu_{m[4]}"
+        cand = "gen_eval_text_gen_" + "_".join(parts[1:-1]) + f"_{m}"
+    elif parts[0] == "likelihoods":
+        cand = "likelihoods_" + "_".join(parts[1:])
+    else:
+        cand = ref_key.replace("/", "_")
+    return cand if cand in ours else None
 
 
 def main():
@@ -335,7 +363,15 @@ def main():
     ap.add_argument("--det-z", action="store_true")
     ap.add_argument("--ckpt", default="/tmp/race/race_torch_s0.pt")
     ap.add_argument("--report", action="store_true")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny fixture (128 train samples, 1 clf epoch) — "
+                    "pipeline shakeout only; pair with a --smoke race ckpt")
     args = ap.parse_args()
+    if args.smoke:
+        global CLF_EPOCHS, OUT_DIR
+        RACE["n_train"] = 128
+        CLF_EPOCHS = 1
+        OUT_DIR = OUT_DIR + "_smoke"
     os.makedirs(OUT_DIR, exist_ok=True)
     if args.report:
         report()

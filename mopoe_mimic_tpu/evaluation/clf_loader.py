@@ -34,6 +34,13 @@ def _dataset_fingerprint(cfg: MopoeConfig) -> str:
     if not ds.startswith("testing"):
         root = str(Path(cfg.dir_data).expanduser().resolve())
         parts.append(hashlib.sha1(root.encode()).hexdigest()[:8])
+    else:
+        # synthetic fixtures differ by size/noise too — a classifier
+        # trained on a 128-sample smoke store must not be silently
+        # reused for a 2048-sample run with the same shapes
+        parts.append(f"n{cfg.synthetic_length}")
+        if cfg.synthetic_noise:
+            parts.append(f"noise{cfg.synthetic_noise:g}")
     if cfg.binary_labels:
         parts.append("bin")
     if cfg.undersample_dataset:
