@@ -64,6 +64,10 @@ def make_cfg(seed: int, epochs: int):
         compute_dtype="float32", eval_freq=10 ** 6, seed=seed,
         initial_learning_rate=RACE["lr"], end_epoch=epochs,
         use_clf=False, calc_nll=False, calc_prd=False, eval_lr=False,
+        # apples-to-apples schedule: the torch side is a bare fixed-lr
+        # Adam loop for the full epoch budget, so early stop and
+        # lr-plateau must not fire on this side either
+        max_early_stopping_index=10 ** 6, reduce_lr_on_plateau=False,
         dir_experiment="/tmp/race_runs",
     )
 

@@ -49,6 +49,13 @@ def main():
                     help="train with the production byte-diet "
                     "(bn_compute_dtype=compute + fused_text_head, the "
                     "bench.py default config) instead of the parity config")
+    ap.add_argument("--img-size", type=int, default=128, choices=[64, 128, 256],
+                    help="image resolution: 128 = flagship; 256 = the "
+                    "reference's bigmem cell (test_training.py:103) — "
+                    "triggers a separate resize/ingest pass at 256px")
+    ap.add_argument("--text", default="word", choices=["word", "char"],
+                    help="text encoding: char = the reference's default "
+                    "char-1024 pipeline (flags.py:157)")
     ap.add_argument("--no-evals", action="store_true",
                     help="loss-only epochs, no heavy eval suite — for "
                     "checkpoint-producing runs whose metrics are computed "
@@ -71,9 +78,10 @@ def main():
 
     # stage 1: ingest (join + report parse + resize cache + memmap stores)
     from mopoe_mimic_tpu.data.mimic_ingest import MimicIngest
-    if not os.path.exists(os.path.join(args.store, "files_small_128", "train_pa.npy")):
+    if not os.path.exists(os.path.join(
+            args.store, f"files_small_{args.img_size}", "train_pa.npy")):
         t0 = time.time()
-        ingest = MimicIngest(args.raw, args.store, img_size=128)
+        ingest = MimicIngest(args.raw, args.store, img_size=args.img_size)
         n = ingest()
         timings["ingest_s"] = round(time.time() - t0, 1)
         timings["ingest_stats"] = ingest.stats
@@ -86,8 +94,8 @@ def main():
 
     on_tpu = jax.devices()[0].platform != "cpu"
     cfg = MopoeConfig(
-        method="joint_elbo", dataset="Mimic", text_encoding="word",
-        img_size=128, DIM_img=64, DIM_text=64, class_dim=64,
+        method="joint_elbo", dataset="Mimic", text_encoding=args.text,
+        img_size=args.img_size, DIM_img=64, DIM_text=64, class_dim=64,
         batch_size=args.batch, initial_learning_rate=args.lr,
         end_epoch=args.epochs, eval_freq=args.eval_freq,
         eval_freq_fid=args.eval_freq,
@@ -103,6 +111,9 @@ def main():
         dir_clf=f"{args.workdir}/clf",
         **({"bn_compute_dtype": "compute", "fused_text_head": True}
            if args.diet else {}),
+        # 256px at lr 5e-4 needs the measured warmup fix for the 1x1-BN
+        # transient (docs/STABILITY.md, tests/test_warmup_stability.py)
+        **({"lr_warmup_steps": 300} if args.img_size == 256 else {}),
     )
     t0 = time.time()
     exp = Experiment(cfg)

@@ -285,6 +285,13 @@ class MopoeConfig:
     # f32 matmul accumulation ≈ parity numerics (not bitwise) — opt-in
     # production knob like fused_text_head. Parameter tree unchanged.
     fused_pointwise: bool = False
+    # Dropout masks recomputed from the PRNG key in the backward pass
+    # (ops/rng_dropout.py custom VJP) instead of kept as residuals:
+    # bit-identical sampling to flax Dropout (same key, same formula), so
+    # trajectories are unchanged; trades a second bernoulli evaluation
+    # for residual HBM traffic on the bandwidth-bound step. Accept/reject
+    # by the step-diet protocol (benchmarks/bench_step_diet.py).
+    rng_recompute_dropout: bool = False
     # NB on BatchNorm under data parallelism: the reference's DDP computes
     # BN statistics per replica (no sync-BN). Under single-controller GSPMD
     # jit the batch mean/var are computed over the GLOBAL sharded batch —

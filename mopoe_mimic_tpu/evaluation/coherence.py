@@ -274,6 +274,34 @@ def test_generation(exp, state, evaluator: CoherenceEvaluator, max_batches: int 
                 out[k] = float(np.mean(vals)) if vals else float("nan")
         return out
 
+    if jax.process_count() > 1:
+        # multi-controller: each rank generated/classified its host shard
+        # — assemble the full accumulations on every rank so the APs,
+        # random-coherence average and BLEU are global and rank-identical
+        from mopoe_mimic_tpu.parallel.mesh import allgather_rows
+
+        if rand_coherences:
+            rates = allgather_rows(
+                np.asarray([[d[l] for l in exp.labels]
+                            for d in rand_coherences])
+            )
+            rand_coherences = [
+                dict(zip(exp.labels, row)) for row in rates
+            ]
+        cond_probs = {
+            s: {m: [allgather_rows(np.concatenate(parts))]
+                for m, parts in per_mod.items()}
+            for s, per_mod in cond_probs.items()
+        }
+        gen_text_ids = {
+            s: [allgather_rows(np.concatenate(parts))]
+            for s, parts in gen_text_ids.items()
+        }
+        if ref_text_ids:
+            ref_text_ids = [allgather_rows(np.concatenate(ref_text_ids))]
+        if all_labels:
+            all_labels = [allgather_rows(np.concatenate(all_labels))]
+
     t_device = time.perf_counter() - t0
     results = {"random_coherence": avg_nested(rand_coherences)}
     t0 = time.perf_counter()

@@ -214,6 +214,20 @@ def estimate_likelihoods(exp, state, mesh=None, max_batches: int = 0) -> Dict[st
             for m_key, v in vals.items():
                 sums[s_key][m_key] += float(v)
         count += 1
+    if jax.process_count() > 1:
+        # multi-controller: each rank summed over its host shard of the
+        # test set — reduce the (sums, count) across ranks so every rank
+        # reports the identical global estimate
+        from mopoe_mimic_tpu.parallel.mesh import allgather_rows
+
+        m_keys = list(cfg.modality_names) + ["joint"]
+        vec = np.asarray(
+            [sums[s][m] for s in subset_keys for m in m_keys] + [float(count)]
+        )
+        total = allgather_rows(vec[None, :]).sum(axis=0)
+        it = iter(total[:-1])
+        sums = {s: {m: float(next(it)) for m in m_keys} for s in subset_keys}
+        count = total[-1]
     return {
         s: {m: v / max(count, 1) for m, v in d.items()} for s, d in sums.items()
     }

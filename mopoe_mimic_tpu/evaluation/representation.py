@@ -67,9 +67,17 @@ def collect_subset_means(exp, state, loader, max_samples: int, mesh=None):
         n += len(labels)
         if n >= max_samples:
             break
-    data = {k: np.concatenate(v)[:max_samples] for k, v in collected.items()}
-    labels = np.concatenate(labels_all)[:max_samples]
-    return data, labels
+    data = {k: np.concatenate(v) for k, v in collected.items()}
+    labels = np.concatenate(labels_all)
+    if jax.process_count() > 1:
+        # multi-controller: each rank encoded its host shard — assemble
+        # the full set on every rank so the LR fit/eval is global and
+        # rank-identical (parallel/mesh.allgather_rows contract)
+        from mopoe_mimic_tpu.parallel.mesh import allgather_rows
+
+        data = {k: allgather_rows(v) for k, v in data.items()}
+        labels = allgather_rows(labels)
+    return {k: v[:max_samples] for k, v in data.items()}, labels[:max_samples]
 
 
 def resample_both_classes(

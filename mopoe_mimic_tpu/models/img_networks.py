@@ -45,6 +45,10 @@ class FeatureExtractorImg(nn.Module):
     bn_dtype: Optional[jnp.dtype] = None
     remat: bool | str = False
     fused_pointwise: bool = False
+    # cfg.rng_recompute_dropout: dropout masks recomputed from the
+    # PRNG key in the backward pass (ops/rng_dropout.py) instead of
+    # saved as residuals — bit-identical sampling, fewer bytes
+    rng_recompute_dropout: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = True) -> jnp.ndarray:
@@ -54,7 +58,8 @@ class FeatureExtractorImg(nn.Module):
         kw = dict(a=_A, b=_B, use_conv_bias=False, channelwise_dropout=True,
                   dtype=self.dtype, param_dtype=self.param_dtype,
                   bn_eps=self.bn_eps, bn_dtype=self.bn_dtype,
-                  fused_pointwise=self.fused_pointwise)
+                  fused_pointwise=self.fused_pointwise,
+                  rng_recompute_dropout=self.rng_recompute_dropout)
         d = self.dim
         Block = maybe_remat(ResidualBlockConv, self.remat)
         h = _conv(d, 3, 2, 1, False, self.dtype, self.param_dtype, "conv1", 2)(x)
@@ -82,6 +87,10 @@ class DataGeneratorImg(nn.Module):
     bn_dtype: Optional[jnp.dtype] = None
     remat: bool | str = False
     fused_pointwise: bool = False
+    # cfg.rng_recompute_dropout: dropout masks recomputed from the
+    # PRNG key in the backward pass (ops/rng_dropout.py) instead of
+    # saved as residuals — bit-identical sampling, fewer bytes
+    rng_recompute_dropout: bool = False
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, *, train: bool = True) -> jnp.ndarray:
@@ -89,7 +98,8 @@ class DataGeneratorImg(nn.Module):
         kw = dict(a=_A, b=_B, use_conv_bias=False, channelwise_dropout=True,
                   dtype=self.dtype, param_dtype=self.param_dtype,
                   bn_eps=self.bn_eps, bn_dtype=self.bn_dtype,
-                  fused_pointwise=self.fused_pointwise)
+                  fused_pointwise=self.fused_pointwise,
+                  rng_recompute_dropout=self.rng_recompute_dropout)
         d = self.dim
         Block = maybe_remat(ResidualBlockTransposeConv, self.remat)
         h = Block(4 * d, 4, 1, 0, name="resblock_1", **kw)(feats, train)
@@ -126,6 +136,10 @@ class EncoderImg(nn.Module):
     bn_dtype: Optional[jnp.dtype] = None
     remat: bool | str = False
     fused_pointwise: bool = False
+    # cfg.rng_recompute_dropout: dropout masks recomputed from the
+    # PRNG key in the backward pass (ops/rng_dropout.py) instead of
+    # saved as residuals — bit-identical sampling, fewer bytes
+    rng_recompute_dropout: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = True):
@@ -141,6 +155,7 @@ class EncoderImg(nn.Module):
                 self.dim, self.img_size, self.dtype, self.param_dtype,
                 bn_eps=self.bn_eps, bn_dtype=self.bn_dtype, remat=self.remat,
                 fused_pointwise=self.fused_pointwise,
+                  rng_recompute_dropout=self.rng_recompute_dropout,
                 name="feature_extractor",
             )(x, train=train)
         else:
@@ -166,6 +181,10 @@ class DecoderImg(nn.Module):
     bn_dtype: Optional[jnp.dtype] = None
     remat: bool | str = False
     fused_pointwise: bool = False
+    # cfg.rng_recompute_dropout: dropout masks recomputed from the
+    # PRNG key in the backward pass (ops/rng_dropout.py) instead of
+    # saved as residuals — bit-identical sampling, fewer bytes
+    rng_recompute_dropout: bool = False
 
     FIXED_SCALE: float = 0.75
 
@@ -187,5 +206,6 @@ class DecoderImg(nn.Module):
             self.dim, self.img_size, self.image_channels, self.dtype,
             self.param_dtype, bn_eps=self.bn_eps, bn_dtype=self.bn_dtype,
             remat=self.remat, fused_pointwise=self.fused_pointwise,
+                  rng_recompute_dropout=self.rng_recompute_dropout,
             name="img_generator",
         )(feats, train=train)

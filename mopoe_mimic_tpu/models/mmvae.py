@@ -81,6 +81,7 @@ class MMVae(nn.Module):
                     bn_dtype=bn_dtype,
                     remat=remat,
                     fused_pointwise=cfg.fused_pointwise,
+                    rng_recompute_dropout=cfg.rng_recompute_dropout,
                     name=f"encoder_{m}",
                 )
                 decoders[m] = DecoderText(
@@ -99,6 +100,7 @@ class MMVae(nn.Module):
                     bn_dtype=bn_dtype,
                     remat=remat,
                     fused_pointwise=cfg.fused_pointwise,
+                    rng_recompute_dropout=cfg.rng_recompute_dropout,
                     name=f"decoder_{m}",
                 )
             else:
@@ -115,6 +117,7 @@ class MMVae(nn.Module):
                     bn_dtype=bn_dtype,
                     remat=remat,
                     fused_pointwise=cfg.fused_pointwise,
+                    rng_recompute_dropout=cfg.rng_recompute_dropout,
                     name=f"encoder_{m}",
                 )
                 decoders[m] = DecoderImg(
@@ -129,6 +132,7 @@ class MMVae(nn.Module):
                     bn_dtype=bn_dtype,
                     remat=remat,
                     fused_pointwise=cfg.fused_pointwise,
+                    rng_recompute_dropout=cfg.rng_recompute_dropout,
                     name=f"decoder_{m}",
                 )
         self.encoders = encoders

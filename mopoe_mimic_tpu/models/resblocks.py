@@ -235,6 +235,10 @@ class _BlockBase(nn.Module):
     # tree; f32 normalize + f32 matmul accumulation (≈ parity numerics,
     # not bitwise — opt-in like cfg.fused_text_head).
     fused_pointwise: bool = False
+    # cfg.rng_recompute_dropout: dropout masks recomputed from the
+    # PRNG key in the backward pass (ops/rng_dropout.py) instead of
+    # saved as residuals — bit-identical sampling, fewer bytes
+    rng_recompute_dropout: bool = False
 
     def _bn(self, name: str) -> "TorchBatchNorm":
         # torch BatchNorm defaults: eps=1e-5, running-stat momentum 0.1
@@ -252,10 +256,21 @@ class _BlockBase(nn.Module):
     def _dropout(self, x, deterministic, spatial_rank):
         if self.dropout_rate <= 0.0:
             return x
+        if deterministic:
+            return x
         broadcast = tuple(range(1, 1 + spatial_rank)) if self.channelwise_dropout else ()
+        # the key is drawn HERE (block level) on both paths so the flax
+        # module and the rng-recompute op consume the SAME key and produce
+        # bit-identical masks (flax Dropout uses the same
+        # bernoulli(keep)+select formula; tests/test_rng_dropout.py pins it)
+        rng = self.make_rng("dropout")
+        if self.rng_recompute_dropout:
+            from mopoe_mimic_tpu.ops.rng_dropout import rng_dropout
+
+            return rng_dropout(x, rng, self.dropout_rate, broadcast)
         return nn.Dropout(
             rate=self.dropout_rate, broadcast_dims=broadcast
-        )(x, deterministic=deterministic)
+        )(x, deterministic=False, rng=rng)
 
     def _fused_head(self, x, det, spatial):
         """bn1 → relu → conv1 via the fused Pallas op (train) or the

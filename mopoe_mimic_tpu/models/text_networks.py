@@ -44,13 +44,18 @@ class FeatureExtractorTextChar(nn.Module):
     bn_dtype: Optional[jnp.dtype] = None
     remat: bool | str = False
     fused_pointwise: bool = False
+    # cfg.rng_recompute_dropout: dropout masks recomputed from the
+    # PRNG key in the backward pass (ops/rng_dropout.py) instead of
+    # saved as residuals — bit-identical sampling, fewer bytes
+    rng_recompute_dropout: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = True) -> jnp.ndarray:
         """x: [B, 1024, num_features] one-hot → [B, 5·dim]."""
         kw = dict(a=_A, b=_B, dtype=self.dtype, param_dtype=self.param_dtype,
                   bn_eps=self.bn_eps, bn_dtype=self.bn_dtype,
-                  fused_pointwise=self.fused_pointwise)
+                  fused_pointwise=self.fused_pointwise,
+                  rng_recompute_dropout=self.rng_recompute_dropout)
         d = self.dim
         Block = maybe_remat(ResidualBlockConv, self.remat)
         h = _conv(d, 4, 2, 1, True, self.dtype, self.param_dtype, "conv1", 1)(x)
@@ -70,13 +75,18 @@ class DataGeneratorTextChar(nn.Module):
     bn_dtype: Optional[jnp.dtype] = None
     remat: bool | str = False
     fused_pointwise: bool = False
+    # cfg.rng_recompute_dropout: dropout masks recomputed from the
+    # PRNG key in the backward pass (ops/rng_dropout.py) instead of
+    # saved as residuals — bit-identical sampling, fewer bytes
+    rng_recompute_dropout: bool = False
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, *, train: bool = True) -> jnp.ndarray:
         """feats: [B, 1, 5·dim] → log-softmax logits [B, 1024, num_features]."""
         kw = dict(a=_A, b=_B, dtype=self.dtype, param_dtype=self.param_dtype,
                   bn_eps=self.bn_eps, bn_dtype=self.bn_dtype,
-                  fused_pointwise=self.fused_pointwise)
+                  fused_pointwise=self.fused_pointwise,
+                  rng_recompute_dropout=self.rng_recompute_dropout)
         d = self.dim
         Block = maybe_remat(ResidualBlockTransposeConv, self.remat)
         h = Block(5 * d, 4, 1, 0, name="resblock_1", **kw)(feats, train)
@@ -100,13 +110,18 @@ class FeatureExtractorTextWord(nn.Module):
     bn_dtype: Optional[jnp.dtype] = None
     remat: bool | str = False
     fused_pointwise: bool = False
+    # cfg.rng_recompute_dropout: dropout masks recomputed from the
+    # PRNG key in the backward pass (ops/rng_dropout.py) instead of
+    # saved as residuals — bit-identical sampling, fewer bytes
+    rng_recompute_dropout: bool = False
 
     @nn.compact
     def __call__(self, ids: jnp.ndarray, *, train: bool = True) -> jnp.ndarray:
         """ids: [B, L] int → [B, 5·dim]."""
         kw = dict(a=_A, b=_B, dtype=self.dtype, param_dtype=self.param_dtype,
                   bn_eps=self.bn_eps, bn_dtype=self.bn_dtype,
-                  fused_pointwise=self.fused_pointwise)
+                  fused_pointwise=self.fused_pointwise,
+                  rng_recompute_dropout=self.rng_recompute_dropout)
         d = self.dim
         ids = ids.astype(jnp.int32)
         emb = nn.Embed(
@@ -139,6 +154,10 @@ class DataGeneratorTextWord(nn.Module):
     bn_dtype: Optional[jnp.dtype] = None
     remat: bool | str = False
     fused_pointwise: bool = False
+    # cfg.rng_recompute_dropout: dropout masks recomputed from the
+    # PRNG key in the backward pass (ops/rng_dropout.py) instead of
+    # saved as residuals — bit-identical sampling, fewer bytes
+    rng_recompute_dropout: bool = False
 
     @nn.compact
     def __call__(
@@ -152,7 +171,8 @@ class DataGeneratorTextWord(nn.Module):
         modes — checkpoints are interchangeable."""
         kw = dict(a=_A, b=_B, dtype=self.dtype, param_dtype=self.param_dtype,
                   bn_eps=self.bn_eps, bn_dtype=self.bn_dtype,
-                  fused_pointwise=self.fused_pointwise)
+                  fused_pointwise=self.fused_pointwise,
+                  rng_recompute_dropout=self.rng_recompute_dropout)
         d = self.dim
         Block = maybe_remat(ResidualBlockTransposeConv, self.remat)
         h = Block(5 * d, 4, 1, 0, name="resblock_1", **kw)(feats, train)
@@ -206,6 +226,10 @@ class EncoderText(nn.Module):
     bn_dtype: Optional[jnp.dtype] = None
     remat: bool | str = False
     fused_pointwise: bool = False
+    # cfg.rng_recompute_dropout: dropout masks recomputed from the
+    # PRNG key in the backward pass (ops/rng_dropout.py) instead of
+    # saved as residuals — bit-identical sampling, fewer bytes
+    rng_recompute_dropout: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = True):
@@ -214,6 +238,7 @@ class EncoderText(nn.Module):
                 self.dim, self.dtype, self.param_dtype,
                 bn_eps=self.bn_eps, bn_dtype=self.bn_dtype, remat=self.remat,
                 fused_pointwise=self.fused_pointwise,
+                  rng_recompute_dropout=self.rng_recompute_dropout,
                 name="feature_extractor",
             )(x, train=train)
         elif self.text_encoding == "word":
@@ -221,6 +246,7 @@ class EncoderText(nn.Module):
                 self.dim, self.vocab_size, self.len_sequence, self.dtype,
                 self.param_dtype, bn_eps=self.bn_eps, bn_dtype=self.bn_dtype,
                 remat=self.remat, fused_pointwise=self.fused_pointwise,
+                  rng_recompute_dropout=self.rng_recompute_dropout,
                 name="feature_extractor",
             )(x, train=train)
         else:
@@ -247,6 +273,10 @@ class DecoderText(nn.Module):
     bn_dtype: Optional[jnp.dtype] = None
     remat: bool | str = False
     fused_pointwise: bool = False
+    # cfg.rng_recompute_dropout: dropout masks recomputed from the
+    # PRNG key in the backward pass (ops/rng_dropout.py) instead of
+    # saved as residuals — bit-identical sampling, fewer bytes
+    rng_recompute_dropout: bool = False
 
     @nn.compact
     def __call__(
@@ -272,6 +302,7 @@ class DecoderText(nn.Module):
                 self.dim, self.num_features, self.dtype, self.param_dtype,
                 bn_eps=self.bn_eps, bn_dtype=self.bn_dtype, remat=self.remat,
                 fused_pointwise=self.fused_pointwise,
+                  rng_recompute_dropout=self.rng_recompute_dropout,
                 name="text_generator",
             )(feats, train=train)
         return DataGeneratorTextWord(
@@ -279,5 +310,6 @@ class DecoderText(nn.Module):
             self.dtype, self.param_dtype, bn_eps=self.bn_eps,
             bn_dtype=self.bn_dtype, remat=self.remat,
             fused_pointwise=self.fused_pointwise,
+                  rng_recompute_dropout=self.rng_recompute_dropout,
             name="text_generator",
         )(feats, train=train, prehead=prehead)

@@ -100,6 +100,27 @@ def replicate_state(mesh: Mesh, state):
     return jax.device_put(state, sharding)
 
 
+def allgather_rows(x) -> np.ndarray:
+    """Row-concatenate a per-process host array across controllers
+    (axis 0, process order); identity single-controller.
+
+    The multi-host eval contract: each controller's eval loader yields its
+    HOST SHARD of the test set (data/loader.py auto-shards by
+    process_count), each rank computes per-sample quantities for its
+    shard, and the collection point assembles the full set on EVERY rank
+    with this gather — so eval metrics are global and rank-identical
+    (asserted by parallel/spmd_smoke.py's heavy-eval phase). The
+    reference has no multi-host eval at all (its test() runs on rank 0's
+    full copy, run_epochs.py:190-219)."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(
+        multihost_utils.process_allgather(np.asarray(x), tiled=True)
+    )
+
+
 def init_multihost(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,

@@ -106,7 +106,7 @@ def _tiny_cfg(n_global_devices: int):
 
 
 def run(steps: int = 2, emulate_shards: int = 0,
-        ckpt_dir: str | None = None) -> dict:
+        ckpt_dir: str | None = None, heavy_evals: bool = False) -> dict:
     """The validation body; call after (optional) distributed init.
 
     ``emulate_shards`` (single-process only): build the streaming batch
@@ -284,6 +284,60 @@ def run(steps: int = 2, emulate_shards: int = 0,
         loss_eval_restored = float(jax.device_get(ev["total_loss"]))
         assert np.isfinite(loss_eval_restored)
 
+    # --- heavy-eval suite under multi-controller ------------------------
+    # run_eval_suite (lr-eval + coherence + IWAE) with per-host eval
+    # shards assembled by parallel/mesh.allgather_rows at each eval's
+    # collection point: every rank must report the IDENTICAL global
+    # metrics. (Matches evaluation/runner.py; the reference has no
+    # multi-host eval — its test() runs single-rank, run_epochs.py:190.)
+    eval_metric_vec = None
+    eval_metrics = None
+    if heavy_evals:
+        import os
+        import tempfile
+
+        from mopoe_mimic_tpu.evaluation.runner import run_eval_suite
+        from mopoe_mimic_tpu.experiment import Experiment
+
+        tmp = tempfile.mkdtemp(prefix=f"spmd_eval_rank{pid}_")
+        ecfg = cfg.replace(
+            dataset="testing_structured", synthetic_classes=3,
+            synthetic_noise=0.25, synthetic_length=8 * cfg.batch_size,
+            eval_lr=True, use_clf=True, calc_nll=True, calc_prd=False,
+            clf_quick_epochs=1, num_imp_samples=2,
+            num_training_samples_lr=2 * cfg.batch_size,
+            dir_experiment=tmp, dir_clf=os.path.join(tmp, "clf"),
+            async_plots=False,
+        )
+        # make_dirs=False: no per-rank CheckpointManager — orbax in
+        # multi-controller mode synchronizes ranks on a SHARED directory;
+        # per-rank private dirs would deadlock (the checkpoint phase
+        # above covers multi-host checkpointing on a shared dir)
+        eexp = Experiment(ecfg, make_dirs=False)
+        sample = {
+            k: v[: ecfg.batch_size] for k, v in eexp.dataset_train.arrays.items()
+        }
+        estate = create_train_state(ecfg, jax.random.PRNGKey(0), sample)
+        estate = replicate_state(mesh, estate)
+        _barrier("heavy_eval_start")
+        ev = run_eval_suite(eexp, estate, epoch=0, mesh=mesh)
+        eexp.drain_host_jobs()
+        # flatten to a deterministic (key-sorted) float vector
+        flat = sorted(
+            (k, float(v)) for k, v in ev.items()
+            if isinstance(v, (int, float)) and np.isfinite(v)
+        )
+        eval_metrics = dict(flat)
+        vec = np.asarray([v for _, v in flat], np.float64)
+        _barrier("heavy_eval_allgather")
+        all_vecs = np.asarray(
+            multihost_utils.process_allgather(vec)
+        ).reshape(n_proc, -1)
+        eval_metric_vec = all_vecs[0].tolist()
+        assert (all_vecs == all_vecs[0]).all(), (
+            "heavy-eval metric disagreement across controllers"
+        )
+
     # --- cross-process agreement ---------------------------------------
     _barrier("final_allgather")
     tail = [scan_loss] + (
@@ -309,6 +363,8 @@ def run(steps: int = 2, emulate_shards: int = 0,
         "loss_scan_epoch": scan_loss,
         "ckpt_restored_equal": ckpt_restored_equal,
         "loss_eval_restored": loss_eval_restored,
+        "heavy_eval_metrics": eval_metrics,
+        "heavy_eval_vec": eval_metric_vec,
         "cross_process_agreement": agree,
     }
 
@@ -330,6 +386,10 @@ def main(argv=None) -> int:
                     help="shared dir for the multi-host checkpoint phase: "
                     "rank 0 saves, every rank restores + verifies "
                     "(reference rank-0-only save, experiment.py:391-393)")
+    ap.add_argument("--heavy-evals", action="store_true",
+                    help="also run the heavy-eval suite (lr-eval + "
+                    "coherence + IWAE) under the multi-controller mesh "
+                    "and assert rank-identical global metrics")
     args = ap.parse_args(argv)
 
     import jax
@@ -348,7 +408,7 @@ def main(argv=None) -> int:
         )
 
     report = run(steps=args.steps, emulate_shards=args.emulate_shards,
-                 ckpt_dir=args.ckpt_dir)
+                 ckpt_dir=args.ckpt_dir, heavy_evals=args.heavy_evals)
     out = json.dumps(report)
     print(out, flush=True)
     if args.out:
