@@ -66,10 +66,12 @@ def _install_stubs():
 
 
 def measure_cell(batch: int, lr: float, steps: int, warmup: int,
-                 compiled: bool) -> dict:
+                 compiled: bool, img_size: int = 128,
+                 record_curve: bool = False) -> dict:
     """One (batch, lr, mode) measurement: fresh model + Adam, `warmup`
     untimed steps (absorbing inductor compile in compiled mode), then
-    `steps` timed optimizer steps of the reference's real loss assembly."""
+    `steps` timed optimizer steps of the reference's real loss assembly.
+    ``record_curve`` keeps every step's loss (stability studies)."""
     import torch
 
     _install_stubs()
@@ -89,7 +91,7 @@ def measure_cell(batch: int, lr: float, steps: int, warmup: int,
     flags = parser.parse_args([])
     flags.method = "joint_elbo"
     flags = get_method(flags)
-    flags.img_size = 128
+    flags.img_size = img_size
     flags.DIM_img = 64
     flags.DIM_text = 64
     flags.class_dim = 64
@@ -140,8 +142,8 @@ def measure_cell(batch: int, lr: float, steps: int, warmup: int,
 
     torch.manual_seed(0)
     batch_d = {
-        "PA": torch.rand(batch, 1, 128, 128),
-        "Lateral": torch.rand(batch, 1, 128, 128),
+        "PA": torch.rand(batch, 1, img_size, img_size),
+        "Lateral": torch.rand(batch, 1, img_size, img_size),
         "text": torch.randint(0, flags.vocab_size, (batch, 128)).float(),
     }
     tb = [batch_d, None]
@@ -161,19 +163,31 @@ def measure_cell(batch: int, lr: float, steps: int, warmup: int,
         opt.step()
         return float(total)
 
+    curve = []
     for _ in range(warmup):
         first_loss = step()
     t0 = time.perf_counter()
-    for _ in range(steps):
+    for i in range(steps):
         loss = step()
+        if record_curve:
+            curve.append(loss)
+            if loss != loss or abs(loss) > 1e30:
+                break  # diverged — record onset, stop burning CPU
     dt = time.perf_counter() - t0
-    return {
+    out = {
         "batch": batch, "lr": lr, "steps": steps,
+        "img_size": img_size,
         "mode": "compiled" if compiled else "eager",
         "samples_per_sec": batch * steps / dt,
         "first_loss": first_loss, "last_loss": loss,
         "finite": bool(loss == loss and abs(loss) < 1e30),
     }
+    if record_curve:
+        out["loss_curve"] = curve
+        bad = [i for i, v in enumerate(curve)
+               if v != v or abs(v) > 1e10]
+        out["divergence_step"] = bad[0] if bad else None
+    return out
 
 
 CONFIG = {"method": "joint_elbo", "img_size": 128, "DIM_img": 64,
@@ -213,7 +227,28 @@ def main():
     ap.add_argument("--sweep", action="store_true",
                     help="full grid batch {16,64,128} x lr {5e-4,1e-4} "
                     "for both eager and compiled; writes both files")
+    ap.add_argument("--stability-256", action="store_true",
+                    help="run the torch reference at 256px / lr 5e-4 on "
+                    "random inputs and record the loss curve — measures "
+                    "whether the reference exhibits the SAME 1x1-BN "
+                    "divergence docs/STABILITY.md documents for this "
+                    "architecture (VERDICT r4 #7); writes "
+                    "docs/STABILITY_TORCH_256.json")
     args = ap.parse_args()
+
+    if args.stability_256:
+        cells = []
+        for lr in (5e-4, 1e-4):
+            cell = measure_cell(args.batch, lr, args.steps, warmup=1,
+                                compiled=False, img_size=256,
+                                record_curve=True)
+            print(json.dumps(cell), flush=True)
+            cells.append(cell)
+        out_path = os.path.join(REPO, "docs", "STABILITY_TORCH_256.json")
+        with open(out_path, "w") as f:
+            json.dump({"cells": cells}, f, indent=2)
+        print(json.dumps({"file": out_path}))
+        return
 
     if not args.sweep:
         cell = measure_cell(args.batch, args.lr, args.steps, args.warmup,
