@@ -53,6 +53,10 @@ def main():
                     "(f32 BN outputs, unfused vocab head) instead of the "
                     "default production diet (bn_compute_dtype=compute + "
                     "fused_text_head; BENCH.md step-diet table)")
+    ap.add_argument("--rng-dropout", action="store_true",
+                    help="dropout masks recomputed from the key in the "
+                    "backward pass (cfg.rng_recompute_dropout, "
+                    "ops/rng_dropout.py) — byte-diet A/B")
     ap.add_argument("--bn-dtype", default=None, choices=["float32", "compute"],
                     help="override cfg.bn_compute_dtype (byte-diet ablation; "
                     "see benchmarks/bench_step_diet.py)")
@@ -148,6 +152,8 @@ def main():
     # trajectory (tests/test_pallas_texthead.py).
     if args.diet and not args.quick and not args.fp32:
         cfg = cfg.replace(bn_compute_dtype="compute", fused_text_head=True)
+    if args.rng_dropout:
+        cfg = cfg.replace(rng_recompute_dropout=True)
     if args.uint8:
         cfg = cfg.replace(transfer_uint8=True)
     if args.bn_dtype:
@@ -285,6 +291,7 @@ def main():
     suffix += "_devstore" if args.device_store else ""
     suffix += "_perstep" if args.per_step else ""
     suffix += "_diet" if args.diet else ""
+    suffix += "_rngdrop" if args.rng_dropout else ""
     mode = ("scanned epoch (1 dispatch/window, on-device gather)"
             if scan_mode else "per-step dispatch")
     mode += ("; production diet (bn_bf16 + fused_text_head)" if args.diet

@@ -922,3 +922,146 @@ def test_golden_training_trajectory_methods(
     assert rel[0] < 2e-3, rel[0]
     assert rel.max() < 1e-2, (rel.argmax(), rel.max())
     assert rel_eval < 2e-2, (eval_t, eval_j)
+
+
+@pytest.mark.slow
+def test_golden_trajectory_flagship_shapes(
+    ref_vae_module, ref_loss_modules, monkeypatch
+):
+    """Trajectory parity at FLAGSHIP shapes (VERDICT r4 weak #3): 128px
+    images, DIM 64, class_dim 64 — the regime where the encoders' final
+    1×1-spatial BatchNorm transient and large conv/matmul reductions
+    actually stress the numerics (docs/STABILITY.md). 8 matched f32 Adam
+    steps from identical imported weights + an eval-mode loss check;
+    same deterministic controls as test_golden_training_trajectory
+    (dropout off, z = mu).
+    """
+    DIMF, CDF, BF, VOCABF, IMGF = 64, 64, 8, 500, 128
+    STEPS, LR = 8, 5e-4
+    flags = SimpleNamespace(
+        DIM_img=DIMF, DIM_text=DIMF, image_channels=1, img_size=IMGF,
+        vocab_size=VOCABF, len_sequence=LEN_SEQ, num_features=VOCABF,
+        text_gen_lastlayer="softmax", feature_extractor_img="resnet",
+        class_dim=CDF, batch_size=BF, device="cpu",
+        factorized_representation=False,
+        style_pa_dim=0, style_lat_dim=0, style_text_dim=0,
+        modality_moe=False, modality_jsd=False, modality_poe=False,
+        joint_elbo=True, alpha_modalities=[0.25, 0.25, 0.25, 0.25],
+        text_encoding="word",
+    )
+    flags.beta, flags.beta_style, flags.beta_content = 1.0, 1.0, 1.0
+    w = 1.0 / 3.0
+    flags.rec_weight_m1 = flags.rec_weight_m2 = flags.rec_weight_m3 = w
+    flags.beta_m1_style = flags.beta_m2_style = flags.beta_m3_style = 1.0
+    ref_model, mods = _build_ref_model_with_likelihoods(
+        ref_vae_module, ref_loss_modules, flags)
+    for m in ref_model.modules():
+        if type(m).__name__.startswith("Dropout"):
+            m.p = 0.0
+    from mopoe_mimic_tpu.models import resblocks as rb
+
+    monkeypatch.setattr(rb._BlockBase, "_dropout", lambda self, x, det, r: x)
+    monkeypatch.setattr(ref_loss_modules.utils, "reparameterize",
+                        lambda mu, logvar: mu)
+    import mopoe_mimic_tpu.models.mmvae as mmvae_mod
+
+    monkeypatch.setattr(mmvae_mod, "reparameterize", lambda rng, mu, lv: mu)
+
+    cfg = MopoeConfig(
+        method="joint_elbo", dataset="testing", img_size=IMGF, DIM_img=DIMF,
+        DIM_text=DIMF, class_dim=CDF, text_encoding="word",
+        vocab_size=VOCABF, batch_size=BF, compute_dtype="float32",
+        initial_learning_rate=LR, beta=1.0, beta_style=1.0, beta_content=1.0,
+        rec_weight_m1=w, rec_weight_m2=w, rec_weight_m3=w,
+    )
+    conv = convert_mopoe_state_dict(ref_model.state_dict(), cfg)
+
+    import optax
+
+    from mopoe_mimic_tpu.train.step import _forward_and_objective
+
+    model = MMVae(cfg)
+    tx = optax.adam(LR, b1=0.9, b2=0.999, eps=1e-8)
+    params, bstats = conv["params"], conv["batch_stats"]
+    opt_state = tx.init(params)
+    fixed_rngs = {"dropout": jax.random.PRNGKey(0),
+                  "reparam": jax.random.PRNGKey(1)}
+
+    @jax.jit
+    def our_train_step(params, bstats, opt_state, b):
+        def loss_fn(p):
+            total, new_bs, _ = _forward_and_objective(
+                cfg, model, p, bstats, b, fixed_rngs, train=True)
+            return total, new_bs
+
+        (total, new_bs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_bs, new_opt, total
+
+    @jax.jit
+    def our_eval_loss(params, bstats, b):
+        total, _, _ = _forward_and_objective(
+            cfg, model, params, bstats, b, fixed_rngs, train=False)
+        return total
+
+    L = ref_loss_modules.losses
+    exp = SimpleNamespace(
+        flags=flags, modalities=mods,
+        rec_weights={"PA": w, "Lateral": w, "text": w},
+        style_weights={"PA": 1.0, "Lateral": 1.0, "text": 1.0},
+    )
+
+    def ref_loss(tb):
+        results = ref_model(tb)
+        _, weighted_t = L.calc_log_probs(exp, results, (tb, None))
+        return L.calc_joint_elbo_loss(
+            exp, None, results["joint_divergence"], flags.beta_style,
+            flags.beta_content, weighted_t, flags.beta)
+
+    opt_t = torch.optim.Adam(ref_model.parameters(), lr=LR,
+                             betas=(0.9, 0.999), eps=1e-8)
+
+    def make_batch(rng):
+        return {
+            "PA": rng.random((BF, IMGF, IMGF, 1)).astype(np.float32),
+            "Lateral": rng.random((BF, IMGF, IMGF, 1)).astype(np.float32),
+            "text": rng.integers(0, VOCABF, (BF, LEN_SEQ)),
+        }
+
+    def to_torch(b):
+        return {
+            "PA": torch.from_numpy(b["PA"].transpose(0, 3, 1, 2)),
+            "Lateral": torch.from_numpy(b["Lateral"].transpose(0, 3, 1, 2)),
+            "text": torch.from_numpy(b["text"]),
+        }
+
+    data_rng = np.random.default_rng(53)
+    test_batch = make_batch(np.random.default_rng(91))
+    ref_model.train()
+    traj_t, traj_j = [], []
+    for _ in range(STEPS):
+        b = make_batch(data_rng)
+        opt_t.zero_grad()
+        total_t = ref_loss(to_torch(b))
+        total_t.backward()
+        opt_t.step()
+        traj_t.append(float(total_t.detach()))
+        params, bstats, opt_state, total_j = our_train_step(
+            params, bstats, opt_state,
+            {k: jnp.asarray(v) for k, v in b.items()})
+        traj_j.append(float(total_j))
+    ref_model.eval()
+    with torch.no_grad():
+        eval_t = float(ref_loss(to_torch(test_batch)))
+    eval_j = float(our_eval_loss(
+        params, bstats, {k: jnp.asarray(v) for k, v in test_batch.items()}))
+
+    traj_t, traj_j = np.asarray(traj_t), np.asarray(traj_j)
+    rel = np.abs(traj_j - traj_t) / np.maximum(1.0, np.abs(traj_t))
+    rel_eval = abs(eval_j - eval_t) / max(1.0, abs(eval_t))
+    print(f"\nflagship shapes: step rel drift max={rel.max():.2e}; "
+          f"eval {eval_t:.2f} vs {eval_j:.2f} rel={rel_eval:.2e}")
+    assert rel[0] < 2e-3, rel[0]
+    assert rel.max() < 1e-2, (rel.argmax(), rel.max())
+    assert rel_eval < 2e-2, (eval_t, eval_j)
