@@ -332,7 +332,18 @@ def main():
     ap.add_argument("--report", action="store_true")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny fixture, 1 epoch — API shakeout only")
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "default"],
+                    help="jax side platform. Default cpu: the race regime "
+                    "is f32 end-to-end (matching torch CPU numerics) and "
+                    "the axon TPU tunnel's per-dispatch latency makes the "
+                    "tiny race model slower there anyway. NOTE: a shell "
+                    "`JAX_PLATFORMS=cpu` is overridden by the axon "
+                    "sitecustomize — it must be set in-process, here, "
+                    "before the first jax import.")
     args = ap.parse_args()
+    if args.side == "jax" and args.platform == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mopoe_jax_cache")
     if args.smoke:
         RACE["n_train"] = 128
         args.epochs = 1

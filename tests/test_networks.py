@@ -117,12 +117,13 @@ def test_word_embedding_padding_idx_zero():
 
 
 def test_bn_eps_knob_propagates():
-    """cfg.bn_eps reaches every BatchNorm in the stack: with constant
-    inputs (zero batch variance) the first BN divides by sqrt(eps), so a
-    larger eps strictly shrinks the activations downstream."""
-    import numpy as np
-
-    x = jnp.ones((4, 64, 64, 1), jnp.float32)  # zero variance everywhere
+    """cfg.bn_eps reaches every BatchNorm in the stack: with eps far above
+    any activation variance (1e2), EVERY BatchNorm divides its input by
+    ~sqrt(eps), so the head output collapses by orders of magnitude. (A
+    small-eps monotonicity check is NOT a true property — downstream BNs
+    renormalize whatever the previous BN emitted, so small-eps deltas can
+    go either way depending on backend codegen.)"""
+    x = jnp.ones((4, 64, 64, 1), jnp.float32)
 
     def head_scale(eps):
         enc = EncoderImg(dim=2, class_dim=4, img_size=64, bn_eps=eps)
@@ -131,8 +132,10 @@ def test_bn_eps_knob_propagates():
             v, x, train=True, rngs=DROP, mutable=["batch_stats"])
         return float(jnp.abs(mu).max())
 
-    # identical params (same init rng), only eps differs
-    assert head_scale(1e-1) < head_scale(1e-5)
+    # identical params (same init rng), only eps differs; the huge-eps
+    # head is ~1e3x smaller PER BatchNorm traversed (4 orders of
+    # magnitude total here) — a machine-independent margin
+    assert head_scale(1e2) < 1e-2 * head_scale(1e-5)
 
 
 def test_bn_eps_flows_from_config():
