@@ -218,7 +218,7 @@ def run_torch(seed: int, epochs: int, out_path: str):
 # jax side — the framework's own production path (Experiment + run_epochs)
 # ---------------------------------------------------------------------------
 
-def run_jax(seed: int, epochs: int, out_path: str):
+def run_jax(seed: int, epochs: int, out_path: str, torch_init: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -226,6 +226,8 @@ def run_jax(seed: int, epochs: int, out_path: str):
     from mopoe_mimic_tpu.train.loop import run_epochs
 
     cfg = make_cfg(seed, epochs)
+    if torch_init:
+        cfg = cfg.replace(torch_init=True)
     exp = Experiment(cfg)
     t_start = time.time()
     result = run_epochs(exp)
@@ -332,6 +334,10 @@ def main():
     ap.add_argument("--report", action="store_true")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny fixture, 1 epoch — API shakeout only")
+    ap.add_argument("--torch-init", action="store_true",
+                    help="jax side trains from torch's default init "
+                    "distribution (cfg.torch_init, models/torch_init.py) "
+                    "— the init-family A/B for the plateau offset")
     ap.add_argument("--platform", default="cpu", choices=["cpu", "default"],
                     help="jax side platform. Default cpu: the race regime "
                     "is f32 end-to-end (matching torch CPU numerics) and "
@@ -355,7 +361,7 @@ def main():
     if args.side == "torch":
         run_torch(args.seed, args.epochs, out_path)
     else:
-        run_jax(args.seed, args.epochs, out_path)
+        run_jax(args.seed, args.epochs, out_path, torch_init=args.torch_init)
 
 
 if __name__ == "__main__":

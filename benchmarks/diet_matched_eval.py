@@ -104,15 +104,19 @@ def main():
         if args.with_coherence:
             from mopoe_mimic_tpu.evaluation.runner import run_eval_suite
 
+            # run_eval_suite returns a FLAT {metric: float} dict
+            # (flatten_metrics, sep="_"): aggregate by key pattern
             ev = run_eval_suite(exp, state, epoch=int(epoch))
-            if "lr_eval" in ev:
-                out["lr_eval_mean_ap"] = float(np.mean(
-                    [m.get("mean_AP_total", np.nan)
-                     for m in ev["lr_eval"].values()]))
-            if "gen_eval" in ev:
-                rc = ev["gen_eval"].get("random_coherence", {})
-                if rc:
-                    out["random_coherence"] = float(np.mean(list(rc.values())))
+            aps = [v for k, v in ev.items()
+                   if k.startswith("lr_eval_") and "_mean_AP_total" in k
+                   and isinstance(v, (int, float))]
+            if aps:
+                out["lr_eval_mean_ap"] = float(np.mean(aps))
+            rc = [v for k, v in ev.items()
+                  if k.startswith("gen_eval_random_coherence")
+                  and isinstance(v, (int, float))]
+            if rc:
+                out["random_coherence"] = float(np.mean(rc))
         return out
 
     results = {

@@ -214,6 +214,15 @@ class MopoeConfig:
     # architecture and every other default stay untouched.
     bn_eps: float = 1e-5
 
+    # Reference-parity parameter init: torch's layer defaults
+    # (kaiming_uniform(a=sqrt(5)) kernels + uniform biases + N(0,1)
+    # embeddings) instead of this package's he_normal + zero-bias flax
+    # idiom (models/torch_init.py). The reference sets no custom
+    # initializers anywhere, so its from-scratch trajectories start from
+    # this distribution; the round-5 convergence race isolates the
+    # init-family effect on the converged ELBO (RESULTS_r5.md §1b).
+    torch_init: bool = False
+
     # ----- TPU-native knobs (no reference counterpart) ----------------------
     compute_dtype: str = "bfloat16"  # matmul/conv compute dtype
     param_dtype: str = "float32"

@@ -78,6 +78,10 @@ def create_train_state(
         sample_batch,
     )
     params = variables["params"]
+    if cfg.torch_init:
+        from mopoe_mimic_tpu.models.torch_init import torch_reinit
+
+        params = torch_reinit(params, jax.random.fold_in(init_rng, 0x70C4))
     batch_stats = variables.get("batch_stats", {})
     return TrainState(
         params=params,
