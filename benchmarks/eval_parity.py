@@ -324,14 +324,61 @@ def report():
                 matched[k] = {"ref": rv, "ours": ours[ok],
                               "delta": ours[ok] - rv}
         report_obj[mode] = matched
+        report_obj[mode + "_summary"] = _summarize(matched)
         print(f"\n## eval parity ({mode})")
         print(f"{'metric':60s} {'torch-ref':>12s} {'ours':>12s} {'Δ':>10s}")
         for k, v in matched.items():
             print(f"{k:60s} {v['ref']:12.4f} {v['ours']:12.4f} "
                   f"{v['delta']:10.4f}")
+        print(json.dumps(report_obj[mode + "_summary"], indent=2))
     with open(os.path.join(REPO, "docs", "EVAL_PARITY.json"), "w") as f:
         json.dump(report_obj, f, indent=2)
     print("\nwrote docs/EVAL_PARITY.json")
+
+
+def _summarize(matched: dict) -> dict:
+    """Aggregate deltas per family, SEPARATING the documented upstream
+    deviations (PARITY.md deviations table) from the true parity signal:
+
+    - bleu*: the reference mis-nests corpus_bleu references (each token
+      becomes a character-sequence reference, coherence.py:302-310) so
+      its BLEU is ~0 regardless of the text; ours is real token BLEU.
+    - lr_eval mean_AP: the reference swaps average_precision_score
+      argument order (classifiers/utils.py:393-400).
+    - likelihoods: the reference regroups importance weights B-major so
+      each datapoint's logmeanexp mixes OTHER datapoints' samples at
+      B>1, and duplicates one modality's style posterior
+      (utils/likelihood.py:138/218, :50-52); ours computes the correct
+      estimator (golden-pinned equal at B=1 where the bug vanishes,
+      tests/test_golden_mmvae_core.py).
+    - lr_eval counts/threshold metrics: fit-implementation difference
+      (sklearn lbfgs vs our jitted full-batch-Adam ridge, same C=1
+      objective) — bounded drift, not eval-semantics; the convergence
+      race pins AP equivalence with a SHARED sklearn evaluator.
+    """
+    fams = {}
+    for k, v in matched.items():
+        top = k.split("/")[0]
+        leaf = k.rsplit("/", 1)[-1]
+        if leaf.startswith("bleu"):
+            fam = "bleu [documented deviation: nltk misuse upstream]"
+        elif top == "lr_eval" and "mean_AP" in k:
+            fam = "lr_eval mean_AP [documented deviation: swapped args upstream]"
+        elif top == "likelihoods":
+            fam = "likelihoods [documented deviation: K/B regrouping upstream]"
+        elif top == "lr_eval" and ("count" in leaf):
+            fam = "lr_eval counts [LR-fit impl difference]"
+        elif top == "lr_eval":
+            fam = "lr_eval threshold metrics [LR-fit impl difference]"
+        else:
+            fam = top  # gen_eval coherence, text common words — parity signal
+        fams.setdefault(fam, []).append(abs(v["delta"]))
+    return {
+        fam: {"n": len(vals),
+              "mean_abs_delta": round(float(np.mean(vals)), 5),
+              "max_abs_delta": round(float(np.max(vals)), 5)}
+        for fam, vals in sorted(fams.items())
+    }
 
 
 def _match_key(ref_key, ours: dict):
