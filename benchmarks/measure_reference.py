@@ -74,6 +74,14 @@ def measure_cell(batch: int, lr: float, steps: int, warmup: int,
     ``record_curve`` keeps every step's loss (stability studies)."""
     import torch
 
+    # era parity: the reference stack is torch 1.6 (setup.cfg:14-28),
+    # where torch.distributions did NOT validate args by default; modern
+    # torch's validate_args=True turns a diverging run's softmax into a
+    # Simplex-constraint crash instead of the NaN loss the reference
+    # would have produced (and which its NaN-restart driver expects,
+    # main_mimic.py:100-124)
+    torch.distributions.Distribution.set_default_validate_args(False)
+
     _install_stubs()
 
     from mimic.evaluation.losses import (
@@ -269,7 +277,13 @@ def main():
         cells = []
         for b, lr in grid:
             t0 = time.time()
-            cell = measure_cell(b, lr, args.steps, args.warmup, compiled)
+            try:
+                cell = measure_cell(b, lr, args.steps, args.warmup, compiled)
+            except Exception as e:  # a cell diverging must not kill the sweep
+                cell = {"batch": b, "lr": lr,
+                        "mode": "compiled" if compiled else "eager",
+                        "samples_per_sec": 0.0, "finite": False,
+                        "last_loss": None, "error": repr(e)[:300]}
             cell["wall_sec"] = round(time.time() - t0, 1)
             cells.append(cell)
             print(json.dumps(cell), flush=True)
