@@ -322,7 +322,8 @@ def run(steps: int = 2, emulate_shards: int = 0,
         _barrier("heavy_eval_start")
         ev = run_eval_suite(eexp, estate, epoch=0, mesh=mesh)
         eexp.drain_host_jobs()
-        # flatten to a deterministic (key-sorted) float vector
+        # run_eval_suite returns a FLAT {metric: float} dict (it
+        # flattens internally, sep="_"); key-sort into a stable vector
         flat = sorted(
             (k, float(v)) for k, v in ev.items()
             if isinstance(v, (int, float)) and np.isfinite(v)

@@ -126,3 +126,57 @@ def test_two_process_spmd_matches_single_controller(tmp_path):
     np.testing.assert_allclose(
         reports[0]["loss_scan_epoch"], c["loss_scan_epoch"], rtol=1e-5
     )
+
+
+@pytest.mark.slow
+@pytest.mark.distributed
+def test_two_process_heavy_eval_suite_agrees(tmp_path):
+    """VERDICT r4 #9: the HEAVY eval suite (lr-eval + coherence + IWAE,
+    evaluation/runner.run_eval_suite) under a real 2-process
+    jax.distributed mesh. Each controller encodes only its host shard;
+    parallel/mesh.allgather_rows assembles the global set at each eval's
+    collection point, so every rank must produce the IDENTICAL metric
+    vector (asserted in-worker via process_allgather, re-checked here
+    from the artifacts). The reference's test() stack is single-rank only
+    (run_epochs.py:190-219) — this pins the TPU-native multi-host
+    extension."""
+    port = _free_port()
+    outs = [str(tmp_path / f"heavy{i}.json") for i in range(2)]
+    procs = [
+        _launch(
+            ["--coordinator", f"localhost:{port}",
+             "--num-processes", "2", "--process-id", str(i),
+             "--heavy-evals"],
+            n_local_devices=4,
+            out_path=outs[i],
+        )
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            # the eval suite jits ~10 programs per rank on this 1-core
+            # box; 2 ranks + any background load need more than the
+            # train-phase test's 1200 s
+            stdout, _ = p.communicate(timeout=2700)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(stdout)
+    for p, stdout in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{stdout[-4000:]}"
+
+    reports = [json.load(open(o)) for o in outs]
+    for r in reports:
+        assert r["ok"] and r["cross_process_agreement"]
+        assert r["heavy_eval_metrics"], "heavy-eval phase did not run"
+    # identical global metrics on both controllers, key by key
+    m0, m1 = reports[0]["heavy_eval_metrics"], reports[1]["heavy_eval_metrics"]
+    assert m0 == m1
+    # the suite actually covered all three heavy evals
+    keys = "\n".join(m0)
+    for fam in ("lr_eval", "gen_eval", "likelihoods"):
+        assert any(k.startswith(fam) for k in m0), (
+            f"{fam} missing from heavy-eval metrics:\n{keys}"
+        )
