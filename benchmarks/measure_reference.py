@@ -203,7 +203,12 @@ CONFIG = {"method": "joint_elbo", "img_size": 128, "DIM_img": 64,
 
 
 def _write(fname: str, cells, hardware: str):
-    strongest = max(cells, key=lambda c: c["samples_per_sec"])
+    # headline floor = strongest HEALTHY cell (finite last_loss,
+    # VERDICT r4 #4): a diverged run measures the same FLOPs, but the
+    # graded ratio should cite a floor the reference could actually
+    # train at; fall back to all cells only if every one diverged
+    finite = [c for c in cells if c.get("finite")]
+    strongest = max(finite or cells, key=lambda c: c["samples_per_sec"])
     out = {
         # headline = STRONGEST floor; bench.py divides by this
         "reference_samples_per_sec": strongest["samples_per_sec"],
